@@ -1,0 +1,64 @@
+"""quantpy-tpu: a TPU-native quantum tomography framework.
+
+Public API parity with the reference quantpy package (quantpy/__init__.py:1-23)
+plus the TPU-native functional layer under `quantpy_tpu.ops`,
+`quantpy_tpu.tomography.*` and `quantpy_tpu.parallel`.
+
+Architecture: quantum objects (Qobj/Operator/Channel) are lightweight host
+handles; all batched computation — experiment simulation, estimation,
+confidence intervals — runs as jitted, vmapped device code with real-only
+host<->device boundaries (see docs/tpu_constraints.md).
+"""
+
+from . import basis, channel, config, operator, ops, qobj
+from .base import BaseQuantum
+from .basis import Basis
+from .channel import Channel
+from .measurements import generate_measurement_matrix
+from .operator import Operator
+from .ops.geometry import hs_dst, if_dst, product, trace_dst
+from .ops.paulis import generate_pauli
+from .qobj import GHZ, Qobj, fully_mixed, zero
+
+__version__ = "0.1.0"
+
+
+def kron(a, b):
+    """Kronecker product of two quantum objects
+    (reference quantpy/routines.py:34-36)."""
+    return a.kron(b)
+
+
+def join_gates(gates):
+    """Compose a gate sequence into one gate: gates applied left-to-right
+    (reference quantpy/routines.py:39-44)."""
+    out = gates[0]
+    for g in gates[1:]:
+        out = g @ out
+    return out
+
+
+__all__ = [
+    "BaseQuantum",
+    "Basis",
+    "Channel",
+    "GHZ",
+    "Operator",
+    "Qobj",
+    "basis",
+    "channel",
+    "config",
+    "fully_mixed",
+    "generate_measurement_matrix",
+    "generate_pauli",
+    "hs_dst",
+    "if_dst",
+    "join_gates",
+    "kron",
+    "operator",
+    "ops",
+    "product",
+    "qobj",
+    "trace_dst",
+    "zero",
+]

@@ -219,3 +219,51 @@ def ptrace(matrix: jnp.ndarray, keep, n_qubits: int | None = None) -> jnp.ndarra
         t = jnp.trace(t, axis1=row_ax, axis2=col_ax)
     d_keep = 2 ** len(keep)
     return t.reshape(batch_shape + (d_keep, d_keep))
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) variants of the factored transforms. The object layer
+# (Qobj/Operator/Channel) is a lightweight host layer — single small matrices
+# are host work, and the target TPU cannot receive complex arrays anyway
+# (docs/tpu_constraints.md) — so it uses these instead of the jnp versions.
+# ---------------------------------------------------------------------------
+
+
+def np_bloch_to_matrix(bloch: np.ndarray, n_qubits: int | None = None) -> np.ndarray:
+    """Numpy twin of :func:`bloch_to_matrix` (same factored algorithm)."""
+    bloch = np.asarray(bloch)
+    if n_qubits is None:
+        n_qubits = n_qubits_from_dim(int(round(math.sqrt(bloch.shape[-1]))))
+    n = n_qubits
+    dim = 2**n
+    batch_shape = bloch.shape[:-1]
+    p4 = _PAULI_1_NP.reshape(4, 4)
+    t = bloch.astype(np.complex128).reshape(batch_shape + (4,) * n)
+    bdim = len(batch_shape)
+    for _ in range(n):
+        t = np.tensordot(t, p4, axes=[[bdim], [0]])
+    t = t.reshape(batch_shape + (2, 2) * n)
+    perm = (
+        list(range(bdim))
+        + [bdim + 2 * k for k in range(n)]
+        + [bdim + 2 * k + 1 for k in range(n)]
+    )
+    return t.transpose(perm).reshape(batch_shape + (dim, dim))
+
+
+def np_matrix_to_bloch(matrix: np.ndarray) -> np.ndarray:
+    """Numpy twin of :func:`matrix_to_bloch` (same factored algorithm)."""
+    matrix = np.asarray(matrix, dtype=np.complex128)
+    dim = matrix.shape[-1]
+    n = n_qubits_from_dim(dim)
+    batch_shape = matrix.shape[:-2]
+    bdim = len(batch_shape)
+    t = matrix.reshape(batch_shape + (2,) * (2 * n))
+    perm = list(range(bdim))
+    for k in range(n):
+        perm += [bdim + n + k, bdim + k]
+    t = t.transpose(perm).reshape(batch_shape + (4,) * n)
+    p4 = _PAULI_1_NP.reshape(4, 4)
+    for _ in range(n):
+        t = np.tensordot(t, p4, axes=[[bdim], [1]])
+    return (t.real / dim).reshape(batch_shape + (4**n,))
