@@ -1,0 +1,99 @@
+"""Flagship benchmark: bootstrapped 4-qubit MLE reconstructions per second.
+
+Reference baseline (BASELINE.md): a single 4-qubit MLE reconstruction takes
+~18 s (scipy BFGS, finite differences) => ~0.055 rec/s; a 1000-resample
+bootstrap takes ~5 h. North star (BASELINE.json): >= 1000 bootstrapped
+4-qubit MLE reconstructions/sec on one v5e chip.
+
+Workload (matches the reference's own time-test config,
+examples/state_tomography.ipynb cells 12-16): proj-set POVM (81 POVMs x 16
+outcomes), 10^4 shots per POVM, 4-qubit GHZ state. Each bootstrap resample =
+simulate a full experiment + maximum-likelihood reconstruction (RrhoR
+fixed-point, 150 iterations) + Hilbert-Schmidt distance.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reconstructions/sec", "vs_baseline": N}
+vs_baseline is the speedup over the reference's ~0.055 rec/s.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_QUBITS = 4
+N_SHOTS = 10_000
+N_POINTS = 1024  # bootstrap resamples per timed call
+MLE_ITERS = 150
+REFERENCE_REC_PER_SEC = 1.0 / 18.0  # BASELINE.md: ~18 s per 4-qubit MLE
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import quantpy_tpu as qt
+    from quantpy_tpu.tomography.bootstrap_core import bootstrap_distances
+    from quantpy_tpu.tomography.state import StateTomograph
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    np.asarray(jnp.ones(8) * 2)  # absorb one-time backend init
+    log(f"backend init: {time.time() - t0:.1f}s")
+
+    state = qt.GHZ(N_QUBITS)
+    tmg = StateTomograph(state, key=2026)
+    tmg.experiment(N_SHOTS, "proj-set")
+    est = tmg.point_estimate("mle-rhor")
+    log(f"point estimate infidelity vs truth: {float(qt.if_dst(est, state)):.2e}")
+
+    bloch = jnp.asarray(est.bloch, jnp.float32)
+    povm = jnp.asarray(tmg.povm_matrix, jnp.float32)
+    n_meas = jnp.asarray(tmg.n_measurements, jnp.float32)
+
+    def run(key):
+        return bootstrap_distances(
+            key, bloch, povm, n_meas,
+            n_points=N_POINTS, method="mle-rhor", dst="hs", max_iter=MLE_ITERS,
+        )
+
+    t0 = time.time()
+    d = run(jax.random.key(0))
+    d.block_until_ready()
+    log(f"compile + first run: {time.time() - t0:.1f}s")
+
+    # timed steady-state runs
+    times = []
+    for i in range(1, 4):
+        t0 = time.time()
+        d = run(jax.random.key(i))
+        d.block_until_ready()
+        times.append(time.time() - t0)
+    best = min(times)
+    d = np.asarray(d)
+    log(f"steady-state times: {[f'{t:.3f}' for t in times]}")
+    log(
+        f"bootstrap distance stats: median={np.median(d):.4f} "
+        f"p95={np.quantile(d, 0.95):.4f} (all finite: {bool(np.isfinite(d).all())})"
+    )
+
+    value = N_POINTS / best
+    print(
+        json.dumps(
+            {
+                "metric": "bootstrapped 4-qubit MLE reconstructions/sec (proj-set, 10k shots/POVM, RrhoR-150)",
+                "value": round(value, 1),
+                "unit": "reconstructions/sec",
+                "vs_baseline": round(value / REFERENCE_REC_PER_SEC, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

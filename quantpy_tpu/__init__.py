@@ -10,7 +10,11 @@ confidence intervals — runs as jitted, vmapped device code with real-only
 host<->device boundaries (see docs/tpu_constraints.md).
 """
 
-from . import basis, channel, config, operator, ops, qobj
+from . import config
+
+config.set_matmul_precision("highest")  # see config.set_matmul_precision
+
+from . import basis, channel, operator, ops, qobj  # noqa: E402
 from .base import BaseQuantum
 from .basis import Basis
 from .channel import Channel

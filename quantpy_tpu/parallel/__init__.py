@@ -1,0 +1,5 @@
+"""Multi-chip scaling over jax.sharding meshes."""
+
+from .mesh import make_mesh, povm_sharded_probabilities, sharded_bootstrap_distances
+
+__all__ = ["make_mesh", "povm_sharded_probabilities", "sharded_bootstrap_distances"]

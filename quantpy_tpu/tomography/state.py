@@ -1,0 +1,191 @@
+"""StateTomograph — quantum state tomography with the reference's API.
+
+API parity with reference quantpy/tomography/state.py:11-253:
+`experiment` (incl. warm_start accumulation), the `results` setter for
+injecting real experimental data, `point_estimate('lin'|'mle'|'mle-constr')`,
+and the `dst` distance selection. All numerics delegate to the jitted,
+batched functional core (state_core.py); randomness is explicit
+`jax.random` keys instead of the reference's global unseeded NumPy RNG
+(state.py:111).
+
+TPU-native extensions:
+- `point_estimate` accepts method='mle-rhor' (fixed-point MLE, fastest)
+- `simulate_batch` / `estimate_batch`: thousands of experiments at once
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..measurements import generate_measurement_matrix
+from ..ops.geometry import resolve_distance
+from ..qobj import Qobj
+from . import state_core
+
+__all__ = ["StateTomograph"]
+
+
+class StateTomograph:
+    """Simulate state-tomography experiments and reconstruct states.
+
+    Parameters
+    ----------
+    state : Qobj
+        True state used by `experiment` simulations.
+    dst : str or callable, default='hs'
+        'hs', 'trace', 'if', or a custom (A, B) -> float distance.
+    key : jax PRNG key or int seed, optional
+        Randomness source for simulations (defaults to seed 0).
+    """
+
+    def __init__(self, state, dst="hs", key=None):
+        import jax
+
+        self.state = state
+        self.dst = resolve_distance(dst)
+        if key is None:
+            key = 0
+        self._key = jax.random.key(key) if isinstance(key, int) else key
+        self._results = None
+        self.povm_matrix = None
+        self.n_measurements = None
+
+    def _next_key(self):
+        import jax
+
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- experiment simulation ------------------------------------------------
+
+    def experiment(self, n_measurements, povm="proj-set", warm_start: bool = False):
+        """Simulate a tomography experiment
+        (reference state.py:71-128).
+
+        warm_start=True merges the new POVM block with the previous one,
+        reweighting rows by shot counts (reference state.py:116-124).
+        """
+        povm_matrix = generate_measurement_matrix(povm, self.state.n_qubits)
+        n_povms = povm_matrix.shape[0]
+        if np.issubdtype(type(n_measurements), np.integer):
+            n_measurements = np.full(n_povms, n_measurements, dtype=np.float64)
+        else:
+            n_measurements = np.asarray(n_measurements, dtype=np.float64)
+            if n_measurements.shape[0] != n_povms:
+                raise ValueError("Wrong length for argument `n_measurements`")
+
+        counts = state_core.simulate_experiment(
+            self._next_key(),
+            povm_matrix,
+            self.state.bloch_device(),
+            n_measurements,
+        )
+        counts = np.asarray(counts, dtype=np.float64)
+
+        if warm_start:
+            prev_total = float(np.sum(self.n_measurements))
+            new_total = float(np.sum(n_measurements))
+            self.povm_matrix = np.vstack(
+                [
+                    self.povm_matrix * prev_total,
+                    povm_matrix * new_total,
+                ]
+            ) / (prev_total + new_total)
+            self.n_measurements = np.concatenate([self.n_measurements, n_measurements])
+            self._results = np.vstack([self._results, counts])
+        else:
+            self.povm_matrix = np.asarray(povm_matrix, dtype=np.float64)
+            self.n_measurements = n_measurements
+            self._results = counts
+
+    # -- results access (reference state.py:130-141) ---------------------------
+
+    @property
+    def results(self):
+        return self._results
+
+    @results.setter
+    def results(self, results):
+        """Inject (real) experimental outcome counts; recomputes
+        n_measurements from row sums (reference state.py:138-141)."""
+        self._results = np.asarray(results, dtype=np.float64)
+        self.n_measurements = self._results.sum(-1)
+
+    @property
+    def flat_results(self):
+        return self._results.reshape(-1)
+
+    # -- estimation -------------------------------------------------------------
+
+    def point_estimate(
+        self,
+        method: str = "lin",
+        physical: bool = True,
+        init: str = "lin",
+        max_iter: int = 100,
+        tol: float = 1e-3,
+    ) -> Qobj:
+        """Reconstruct a density matrix (reference state.py:143-189).
+
+        Methods: 'lin', 'mle', 'mle-constr' (reference) plus 'mle-rhor'
+        (TPU-native fixed-point MLE). Returns a Qobj and caches it as
+        `reconstructed_state`.
+        """
+        if self._results is None:
+            raise RuntimeError("Run `experiment` or set `results` first")
+        bloch = state_core.estimate(
+            self._results,
+            self.povm_matrix,
+            self.n_measurements,
+            method=method,
+            physical=physical,
+            init=init,
+            max_iter=max_iter,
+            tol=tol,
+        )
+        self.reconstructed_state = Qobj(np.asarray(bloch, dtype=np.float64))
+        return self.reconstructed_state
+
+    # -- TPU-native batch API ----------------------------------------------------
+
+    def simulate_batch(self, n_experiments: int, state=None, key=None):
+        """Simulate `n_experiments` independent repetitions of the current
+        experiment design in one device call. Returns (n_experiments, m, p)
+        counts (a device array)."""
+        import jax.numpy as jnp
+
+        from ..config import rdtype
+
+        if self.povm_matrix is None:
+            raise RuntimeError("Run `experiment` first to fix the design")
+        bloch = (state or self.state).bloch_device()
+        blochs = jnp.broadcast_to(bloch, (n_experiments,) + bloch.shape)
+        return state_core.simulate_experiment(
+            key if key is not None else self._next_key(),
+            jnp.asarray(self.povm_matrix, dtype=rdtype()),
+            blochs,
+            self.n_measurements,
+        )
+
+    def estimate_batch(self, counts, method: str = "lin", **kwargs):
+        """Estimate a batch of experiments at once; returns bloch vectors
+        (batch, 4^n) as a device array."""
+        return state_core.estimate(
+            counts, self.povm_matrix, self.n_measurements, method=method, **kwargs
+        )
+
+    def _nll(self, tril_vec):
+        """NLL of a Cholesky parameter vector under the current data
+        (reference state.py:217-229); used by MHMC intervals."""
+        import jax.numpy as jnp
+
+        from ..config import rdtype
+
+        a = state_core.weighted_povm_flat(self.povm_matrix, self.n_measurements)
+        freq = self.flat_results / self.flat_results.sum()
+        return state_core.nll_tril(
+            jnp.asarray(tril_vec, dtype=rdtype()),
+            a,
+            jnp.asarray(freq, dtype=rdtype()),
+            self.state.n_qubits,
+        )

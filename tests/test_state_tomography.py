@@ -1,0 +1,148 @@
+"""State tomography: simulation, estimators, batching, reference parity."""
+
+import numpy as np
+import pytest
+
+import quantpy_tpu as qt
+from quantpy_tpu.tomography import state_core
+from quantpy_tpu.tomography.state import StateTomograph
+
+from .reference_shim import get_reference
+
+ref = get_reference()
+needs_ref = pytest.mark.skipif(ref is None, reason="reference unavailable")
+
+
+def test_experiment_shapes_and_counts():
+    tmg = StateTomograph(qt.zero(2), key=1)
+    tmg.experiment(10000, "proj-set")
+    assert tmg.povm_matrix.shape == (9, 4, 16)
+    assert tmg.results.shape == (9, 4)
+    np.testing.assert_allclose(tmg.results.sum(-1), 10000)
+    # deterministic zero state: z+z+ outcome dominates the zz POVM
+    zz = tmg.results[-1]
+    assert zz[0] == 10000
+
+
+def test_lin_estimate_recovers_state():
+    state = qt.GHZ(2)
+    tmg = StateTomograph(state, key=2)
+    tmg.experiment(100000, "proj")
+    est = tmg.point_estimate("lin")
+    assert float(qt.hs_dst(est, state)) < 0.02
+    assert est.is_density_matrix()
+
+
+@pytest.mark.parametrize("method", ["mle", "mle-rhor"])
+def test_mle_estimates_recover_state(method):
+    state = qt.Qobj(np.array([0.5, 0.35, -0.2, 0.1]))  # mixed 1q state
+    tmg = StateTomograph(state, key=3)
+    tmg.experiment(100000, "proj-set")
+    est = tmg.point_estimate(method)
+    assert float(qt.hs_dst(est, state)) < 0.02
+    assert est.is_density_matrix()
+
+
+def test_mle_methods_agree():
+    # both optimizers find the same maximum-likelihood optimum
+    state = qt.GHZ(2)
+    tmg = StateTomograph(state, key=4)
+    tmg.experiment(5000, "proj-set")
+    b_chol = np.asarray(tmg.estimate_batch(tmg.results, "mle", max_iter=300, tol=1e-6))
+    b_rhor = np.asarray(tmg.estimate_batch(tmg.results, "mle-rhor", max_iter=3000))
+    m_chol = qt.Qobj(b_chol)
+    m_rhor = qt.Qobj(b_rhor)
+    assert float(qt.hs_dst(m_chol, m_rhor)) < 5e-4
+
+
+@needs_ref
+def test_lin_parity_with_reference():
+    """Same counts -> same linear-inversion estimate as the reference."""
+    state = qt.GHZ(2)
+    tmg = StateTomograph(state, key=5)
+    tmg.experiment(10000, "proj-set")
+
+    rtmg = ref.StateTomograph(ref.Qobj(state.matrix))
+    rtmg.experiment(10000, "proj-set")
+    rtmg.results = tmg.results  # inject identical data
+    for physical in [False, True]:
+        ours = tmg.point_estimate("lin", physical=physical)
+        theirs = rtmg.point_estimate("lin", physical=physical)
+        np.testing.assert_allclose(ours.matrix, theirs.matrix, atol=1e-8)
+
+
+@needs_ref
+def test_mle_parity_with_reference():
+    """MLE finds at least as good a likelihood as the reference's BFGS,
+    and the estimates agree to high fidelity."""
+    state = qt.Qobj(np.array([0.5, 0.3, 0.2, -0.25]))
+    tmg = StateTomograph(state, key=6)
+    tmg.experiment(20000, "proj-set")
+
+    rtmg = ref.StateTomograph(ref.Qobj(state.matrix))
+    rtmg.experiment(20000, "proj-set")
+    rtmg.results = tmg.results
+    theirs = rtmg.point_estimate("mle")
+    ours = tmg.point_estimate("mle")
+    ours_rhor = tmg.point_estimate("mle-rhor")
+    # compare NLL under the reference definition
+    from quantpy_tpu.ops.cholesky import matrix_to_real_tril_vec
+
+    def ref_nll(m):
+        return rtmg._nll(np.asarray(
+            matrix_to_real_tril_vec(m + 1e-12 * np.eye(2))
+        ))
+
+    nll_ref = ref_nll(theirs.matrix)
+    nll_ours = ref_nll(ours.matrix)
+    nll_rhor = ref_nll(ours_rhor.matrix)
+    assert nll_ours <= nll_ref + 1e-6
+    assert nll_rhor <= nll_ref + 1e-6
+    # fidelity agreement between our MLE and reference MLE
+    assert float(qt.if_dst(ours, theirs)) < 1e-4
+    assert float(qt.if_dst(ours_rhor, theirs)) < 1e-4
+
+
+def test_results_setter_real_data():
+    # inject data like the CLI does (reference scripts/state_interval.py:46-48)
+    tmg = StateTomograph(qt.fully_mixed(1), key=7)
+    tmg.experiment(1000, "proj-set")
+    tmg.results = np.array([[800, 200], [500, 500], [500, 500]])
+    np.testing.assert_allclose(tmg.n_measurements, [1000, 1000, 1000])
+    est = tmg.point_estimate("lin")
+    assert est.bloch[1] > 0.2  # x-polarized
+
+
+def test_warm_start_accumulates():
+    tmg = StateTomograph(qt.zero(1), key=8)
+    tmg.experiment(1000, "proj-set")
+    tmg.experiment(3000, "proj-set", warm_start=True)
+    assert tmg.povm_matrix.shape == (6, 2, 4)
+    assert tmg.results.shape == (6, 2)
+    np.testing.assert_allclose(tmg.n_measurements, [1000] * 3 + [3000] * 3)
+    est = tmg.point_estimate("lin")
+    assert float(qt.hs_dst(est, qt.zero(1))) < 0.05
+
+
+def test_batched_bootstrap_style_estimation():
+    state = qt.GHZ(2)
+    tmg = StateTomograph(state, key=9)
+    tmg.experiment(2000, "proj-set")
+    counts = tmg.simulate_batch(64)
+    assert counts.shape == (64, 9, 4)
+    blochs = np.asarray(tmg.estimate_batch(counts, "lin"))
+    assert blochs.shape == (64, 16)
+    # all feasible, all near the true state
+    dists = [float(qt.hs_dst(qt.Qobj(b), state)) for b in blochs]
+    assert max(dists) < 0.2
+    blochs_mle = np.asarray(tmg.estimate_batch(counts, "mle-rhor"))
+    dists = [float(qt.hs_dst(qt.Qobj(b), state)) for b in blochs_mle]
+    assert max(dists) < 0.2
+
+
+def test_reproducibility_with_same_key():
+    t1 = StateTomograph(qt.GHZ(2), key=42)
+    t1.experiment(1000)
+    t2 = StateTomograph(qt.GHZ(2), key=42)
+    t2.experiment(1000)
+    np.testing.assert_array_equal(t1.results, t2.results)
