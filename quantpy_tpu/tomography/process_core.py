@@ -1,0 +1,279 @@
+"""Functional core of quantum process tomography — pure, jitted, batched.
+
+Replaces the numerics of reference quantpy/tomography/process.py:142-327.
+
+Everything runs in the CHOI BLOCH representation: the Choi matrix of an
+n-qubit channel is a Hermitian operator on 2n qubits, hence exactly a real
+vector of length 16^n. This buys three things on TPU:
+
+1. real-only host<->device boundaries (docs/tpu_constraints.md);
+2. the TP constraint Tr_out(C) = I becomes a *coordinate* condition: in the
+   Pauli product basis P_a (x) P_b, partial trace over the output kills every
+   b != 0 term, so TP fixes the 4^n coefficients c[(a, 0)]:
+       c[(0,0)] = 1/2^n,   c[(a,0)] = 0 for a != 0.
+   The reference builds an explicit 16^n x 16^n ptrace operator for this
+   (quantpy/routines.py:47-50, process.py:259-268); here the TP projection
+   is a masked scatter - exactly the "trivial indices" of reference
+   interval.py:187;
+3. the measurement model is one real matmul: p[s,o] = A[s,o] . c with
+   A rows = 4^n * kron(bloch(rho_s^T), w_o)  (reference builds complex
+   kron rows, process.py:203-208).
+
+Shape conventions:
+- input_blochs_t: (S, D) bloch vectors of TRANSPOSED input states, D = 4^n
+- povm_matrix: (m, p, D); counts: (..., S, m, p)
+- choi_bloch: (..., D2) with D2 = 16^n
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..config import rdtype
+from ..ops.paulis import bloch_to_matrix, matrix_to_bloch
+from . import state_core
+
+__all__ = [
+    "measurement_operator",
+    "process_probabilities",
+    "simulate_process_experiment",
+    "tp_project_bloch",
+    "cp_project_bloch",
+    "cptp_project_bloch",
+    "estimate_lifp",
+    "estimate_pgdb",
+    "process_nll",
+]
+
+_CP_EPS = 1e-12  # eigenvalue floor of the CP projection (process.py:270-278)
+
+
+def _n_from_d2(d2: int) -> int:
+    n = int(round(math.log(d2, 16)))
+    if 16**n != d2:
+        raise ValueError(f"Invalid Choi bloch dimension {d2}")
+    return n
+
+
+def measurement_operator(input_blochs_t, povm_matrix, n_measurements):
+    """The real process-measurement matrix A: (S*K, 16^n).
+
+    Rows are 4^n * kron(bloch(rho_s^T), w_o) over (input state s, weighted
+    flattened POVM row o) — the bloch-space equivalent of reference
+    process.py:203-211.
+    """
+    input_blochs_t = jnp.asarray(input_blochs_t, dtype=rdtype())
+    w = state_core.weighted_povm_flat(povm_matrix, n_measurements)  # (K, D)
+    d = input_blochs_t.shape[-1]  # 4^n
+    s, k = input_blochs_t.shape[0], w.shape[0]
+    rows = jnp.einsum("sd,ke->skde", input_blochs_t, w).reshape(s * k, -1)
+    return rows * d
+
+
+def process_probabilities(a_matrix, choi_bloch):
+    """p = A @ c, batched over leading axes of choi_bloch."""
+    return jnp.einsum("kd,...d->...k", a_matrix, choi_bloch)
+
+
+def simulate_process_experiment(key, povm_matrix, output_blochs, n_measurements):
+    """Simulate state tomography of every channel output state in one call.
+
+    output_blochs: (S, D) bloch vectors of the channel applied to each input
+    state (computed host-side; the channel object is a host handle).
+    Returns counts (S, m, p).
+    """
+    return state_core.simulate_experiment(
+        key, povm_matrix, output_blochs, n_measurements
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def tp_project_bloch(choi_bloch):
+    """Orthogonal projection onto trace-preserving Choi matrices
+    (bloch-coordinate fix; semantics of reference process.py:259-268)."""
+    choi_bloch = jnp.asarray(choi_bloch, dtype=rdtype())
+    d2 = choi_bloch.shape[-1]
+    n = _n_from_d2(d2)
+    d_in = 4**n
+    d_out = 4**n
+    c = choi_bloch.reshape(choi_bloch.shape[:-1] + (d_in, d_out))
+    target = jnp.zeros((d_in,), dtype=choi_bloch.dtype).at[0].set(1.0 / (2**n))
+    c = c.at[..., :, 0].set(jnp.broadcast_to(target, c.shape[:-1]))
+    return c.reshape(choi_bloch.shape)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def cp_project_bloch(choi_bloch):
+    """Projection onto completely positive (PSD-Choi) maps: eigh, floor
+    eigenvalues at 1e-12, recompose (reference process.py:270-278)."""
+    choi_bloch = jnp.asarray(choi_bloch, dtype=rdtype())
+    n2 = 2 * _n_from_d2(choi_bloch.shape[-1])  # Choi lives on 2n qubits
+    rho = bloch_to_matrix(choi_bloch, n2)
+    evals, evecs = jnp.linalg.eigh(rho)
+    evals = jnp.maximum(evals, _CP_EPS)
+    rho = (evecs * evals[..., None, :].astype(evecs.dtype)) @ jnp.swapaxes(
+        evecs.conj(), -1, -2
+    )
+    return matrix_to_bloch(rho)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def cptp_project_bloch(choi_bloch, max_iter: int = 1000, tol: float = 1e-8):
+    """Dykstra alternating projections onto CPTP, in bloch space, batched,
+    under lax.while_loop.
+
+    Semantics of reference process.py:237-257 with a documented fix: the
+    reference updates its correction vector with the ALREADY-updated
+    iterate (`p += x_new - y`, process.py:251-252), which is not Dykstra's
+    scheme and biases the returned point (measured: the PGD direction it
+    produces stops being a descent direction ~1e-4 away from the optimum).
+    This implements the textbook two-set Dykstra:
+
+        y_k     = P_TP(x_k + p_k);   p_{k+1} = x_k + p_k - y_k
+        x_{k+1} = P_CP(y_k + q_k);   q_{k+1} = y_k + q_k - x_{k+1}
+
+    Stop: squared change of both correction increments below tol (the usual
+    Birgin-Raydan criterion), maximized over the batch.
+    """
+    x0 = jnp.asarray(choi_bloch, dtype=rdtype())
+    zeros = jnp.zeros_like(x0)
+
+    def cond(carry):
+        _, _, _, it, crit = carry
+        return jnp.logical_and(it < max_iter, crit > tol)
+
+    def step(carry):
+        x, p, q, it, _ = carry
+        s = x + p
+        y = tp_project_bloch(s)
+        p_new = s - y
+        t = y + q
+        x_new = cp_project_bloch(t)
+        q_new = t - x_new
+        crit = jnp.sum((p_new - p) ** 2, axis=-1) + jnp.sum(
+            (q_new - q) ** 2, axis=-1
+        )
+        return x_new, p_new, q_new, it + 1, jnp.max(crit)
+
+    x, _, _, _, _ = jax.lax.while_loop(
+        cond,
+        step,
+        (x0, zeros, zeros, jnp.asarray(0), jnp.asarray(jnp.inf, rdtype())),
+    )
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("cptp", "cptp_iter"))
+def estimate_lifp(
+    counts, a_matrix, cptp: bool = True, cptp_iter: int = 1000, cptp_tol: float = 1e-8
+):
+    """Linear-inversion process estimate (reference process.py:284-289).
+
+    counts: (..., S, m, p); frequencies are normalized per input state
+    (reference normalizes each tomograph's flat results). Returns the Choi
+    bloch vector(s).
+    """
+    counts = jnp.asarray(counts, dtype=rdtype())
+    s = counts.shape[-3]
+    freq = counts.reshape(counts.shape[:-2] + (-1,))  # (..., S, K)
+    freq = freq / jnp.sum(freq, axis=-1, keepdims=True)
+    freq = freq.reshape(freq.shape[:-2] + (-1,))  # (..., S*K)
+    gram = a_matrix.T @ a_matrix
+    rhs = jnp.einsum("kd,...k->...d", a_matrix, freq)
+    choi_bloch = jnp.linalg.solve(gram, rhs[..., None])[..., 0]
+    if cptp:
+        choi_bloch = cptp_project_bloch(choi_bloch, cptp_iter, cptp_tol)
+    return choi_bloch
+
+
+def process_nll(choi_bloch, a_matrix, unnorm_counts):
+    """Poisson-style NLL: -sum(n_j log(p_j + eps))
+    (reference process.py:310-314)."""
+    probs = process_probabilities(a_matrix, choi_bloch)
+    return -jnp.sum(unnorm_counts * jnp.log(probs + _CP_EPS), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "cptp_iter"))
+def estimate_pgdb(
+    counts,
+    a_matrix,
+    max_iter: int = 1000,
+    tol: float = 1e-10,
+    cptp_iter: int = 200,
+    cptp_tol: float = 1e-7,
+):
+    """Projected gradient descent with backtracking on the process NLL
+    (reference process.py:291-308, 'pgdb').
+
+    Documented divergence: the reference's stopping rule
+    `if nll(old) - nll(new) > tol: break` (process.py:303) exits on LARGE
+    progress, so it effectively runs a single projected step (SURVEY.md
+    "known quirks"). Here the loop stops when progress is SMALL (< tol),
+    i.e. at convergence.
+    """
+    counts = jnp.asarray(counts, dtype=rdtype())
+    flat = counts.reshape(counts.shape[:-3] + (-1,))
+    # Normalize to frequencies: the reference optimizes the raw-count NLL
+    # (process.py:294-300), whose O(N_shots) gradient throws the projected
+    # point ~1e6 bloch units away — Dykstra cannot recover from there (the
+    # TP step subtracts a huge identity component, the CP step then clips
+    # the matrix to ~0). The PGDB formulation (arXiv:1803.10062, eq. 6)
+    # uses normalized frequencies with mu = 1.5/d^2; the maximizer is the
+    # same up to the positive scale.
+    flat = flat / jnp.sum(flat, axis=-1, keepdims=True)
+    d2 = a_matrix.shape[-1]
+    n = _n_from_d2(d2)
+    # start at the Choi bloch of the fully depolarizing channel:
+    # fully_mixed on 2n qubits (reference process.py:292)
+    x0 = jnp.zeros(flat.shape[:-1] + (d2,), dtype=rdtype()).at[..., 0].set(
+        1.0 / (4**n)
+    )
+    mu = 1.5 / (4**n)
+    gamma = 0.3
+
+    def nll(x):
+        return process_nll(x, a_matrix, flat)
+
+    def backtrack(x, d, grad):
+        slope = jnp.sum(d * grad, axis=-1)
+        f0 = nll(x)
+
+        def cond(carry):
+            alpha, it = carry
+            return jnp.logical_and(
+                jnp.any(nll(x + alpha[..., None] * d) - f0 > gamma * alpha * slope),
+                it < 30,
+            )
+
+        def step(carry):
+            alpha, it = carry
+            return alpha / 2, it + 1
+
+        alpha0 = jnp.ones(f0.shape, dtype=rdtype())
+        alpha, _ = jax.lax.while_loop(cond, step, (alpha0, jnp.asarray(0)))
+        return alpha
+
+    def cond(carry):
+        _, it, delta = carry
+        return jnp.logical_and(it < max_iter, delta > tol)
+
+    def step(carry):
+        x, it, _ = carry
+        probs = process_probabilities(a_matrix, x)
+        grad = -jnp.einsum(
+            "kd,...k->...d", a_matrix, flat / jnp.clip(probs, _CP_EPS, None)
+        )
+        d = cptp_project_bloch(x - grad / mu, cptp_iter, cptp_tol) - x
+        alpha = backtrack(x, d, grad)
+        x_new = x + alpha[..., None] * d
+        delta = jnp.max(nll(x) - nll(x_new))
+        return x_new, it + 1, delta
+
+    x, _, _ = jax.lax.while_loop(
+        cond, step, (x0, jnp.asarray(0), jnp.asarray(jnp.inf, rdtype()))
+    )
+    return x

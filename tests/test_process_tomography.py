@@ -1,0 +1,145 @@
+"""Process tomography: simulation, lifp/pgdb/states estimators, CPTP
+projection, reference parity."""
+
+import numpy as np
+import pytest
+
+import quantpy_tpu as qt
+from quantpy_tpu.channel import amplitude_damping, dephasing, depolarizing
+from quantpy_tpu.operator import X
+from quantpy_tpu.tomography.process import ProcessTomograph
+from quantpy_tpu.tomography import process_core
+
+from .reference_shim import get_reference
+
+ref = get_reference()
+needs_ref = pytest.mark.skipif(ref is None, reason="reference unavailable")
+
+
+def choi_dist(a, b):
+    return float(qt.hs_dst(a.choi, b.choi))
+
+
+def test_experiment_structure():
+    tmg = ProcessTomograph(depolarizing(0.3), key=1)
+    tmg.experiment(1000, "proj-set")
+    assert len(tmg.tomographs) == 4
+    assert tmg.results.shape == (4, 3, 2)
+    np.testing.assert_allclose(tmg.results.sum(-1), 1000)
+
+
+@pytest.mark.parametrize("method", ["lifp", "pgdb", "states"])
+def test_estimators_recover_channel(method):
+    true = dephasing(0.4)
+    tmg = ProcessTomograph(true, key=2)
+    tmg.experiment(30000, "proj-set")
+    est = tmg.point_estimate(method)
+    assert choi_dist(est, true) < 0.05, method
+    assert est.is_cptp(atol=1e-3)
+
+
+def test_input_states_must_span():
+    with pytest.raises(ValueError):
+        ProcessTomograph(depolarizing(0.5), input_states="proj-set")
+    # proj-set squeezed has 6 states of 1 qubit -> not a 4-element basis
+    # (reference raises the same way, process.py:78-81)
+
+
+def test_cptp_projection_properties():
+    tmg = ProcessTomograph(depolarizing(0.5), key=3)
+    # a random non-CPTP "channel"
+    rng = np.random.default_rng(0)
+    bad = qt.Channel(qt.Qobj(np.diag(rng.uniform(0.2, 1.5, size=4)).astype(complex)))
+    proj = tmg.cptp_projection(bad)
+    assert proj.is_cptp(atol=1e-5)
+    # idempotence
+    proj2 = tmg.cptp_projection(proj)
+    assert choi_dist(proj, proj2) < 1e-5
+    # a CPTP channel is (approximately) a fixed point
+    good = dephasing(0.3)
+    fixed = tmg.cptp_projection(good)
+    assert choi_dist(good, fixed) < 1e-6
+
+
+def test_tp_cp_projections():
+    tmg = ProcessTomograph(depolarizing(0.5), key=4)
+    rng = np.random.default_rng(1)
+    m = rng.normal(size=(4, 4))
+    bad = qt.Channel(qt.Qobj((m + m.T).astype(complex) / 4 + np.eye(4)))
+    tp = tmg.tp_projection(bad)
+    rho_in = tp.choi.ptrace((0,))
+    np.testing.assert_allclose(rho_in.matrix, np.eye(2), atol=1e-10)
+    cp = tmg.cp_projection(bad)
+    assert np.all(np.linalg.eigvalsh(cp.choi.matrix) > -1e-10)
+
+
+@needs_ref
+def test_lifp_parity_with_reference():
+    """Same measurement records -> same reconstruction as the reference."""
+    true = amplitude_damping(0.35)
+    tmg = ProcessTomograph(true, key=5)
+    tmg.experiment(10000, "proj-set")
+
+    rtmg = ref.ProcessTomograph(ref.channel.amplitude_damping(0.35))
+    rtmg.experiment(10000, "proj-set")
+    rtmg.results = tmg.results
+
+    ours = tmg.point_estimate("lifp", cptp=False)
+    theirs = rtmg.point_estimate("lifp", cptp=False)
+    # the reference solves in complex vec space (and its left-inverse uses
+    # A.T rather than A^H, reference routines.py:69-71); physically relevant
+    # content is the Hermitian part, which must match our bloch solution
+    herm = (theirs.choi.matrix + theirs.choi.matrix.conj().T) / 2
+    np.testing.assert_allclose(ours.choi.matrix, herm, atol=1e-8)
+
+    # After CPTP projection the results differ at the ~1e-3 level because the
+    # reference's Dykstra updates its correction vector with the already-
+    # updated iterate (process.py:251-252), a bias our implementation fixes
+    # (see process_core.cptp_project_bloch). Check closeness, CPTP-validity,
+    # and that OUR projection is at least as close to the unprojected point
+    # (the defining property of a projection).
+    ours_c = tmg.point_estimate("lifp", cptp=True)
+    theirs_c = rtmg.point_estimate("lifp", cptp=True)
+    assert float(qt.hs_dst(ours_c.choi, qt.Qobj(theirs_c.choi.matrix))) < 5e-3
+    assert ours_c.is_cptp(atol=1e-5)
+    d_ours = float(qt.hs_dst(ours_c.choi, ours.choi))
+    d_theirs = float(qt.hs_dst(qt.Qobj(theirs_c.choi.matrix), ours.choi))
+    assert d_ours <= d_theirs + 1e-6
+
+
+@needs_ref
+def test_states_parity_with_reference():
+    true = dephasing(0.25)
+    tmg = ProcessTomograph(true, key=6)
+    tmg.experiment(20000, "proj-set")
+
+    rtmg = ref.ProcessTomograph(ref.channel.dephasing(0.25))
+    rtmg.experiment(20000, "proj-set")
+    rtmg.results = tmg.results
+
+    ours = tmg.point_estimate("states", cptp=False, states_est_method="lin")
+    theirs = rtmg.point_estimate("states", cptp=False, states_est_method="lin")
+    np.testing.assert_allclose(
+        ours.choi.matrix, theirs.choi.matrix, atol=1e-8
+    )
+
+
+def test_pgdb_beats_or_matches_lifp_nll():
+    true = amplitude_damping(0.5)
+    tmg = ProcessTomograph(true, key=7)
+    tmg.experiment(5000, "proj-set")
+    est_lifp = tmg.point_estimate("lifp", cptp=True)
+    est_pgdb = tmg.point_estimate("pgdb", n_iter=300)
+    nll_lifp = float(tmg._nll(est_lifp.choi.bloch))
+    nll_pgdb = float(tmg._nll(est_pgdb.choi.bloch))
+    assert nll_pgdb <= nll_lifp + 1e-6
+    assert est_pgdb.is_cptp(atol=1e-3)
+    assert choi_dist(est_pgdb, true) < 0.1
+
+
+def test_unitary_channel_reconstruction():
+    true = X.as_channel()
+    tmg = ProcessTomograph(true, key=8)
+    tmg.experiment(50000, "proj-set")
+    est = tmg.point_estimate("lifp")
+    assert choi_dist(est, true) < 0.05
