@@ -23,6 +23,21 @@ from .operator import Operator
 from .ops.geometry import hs_dst, if_dst, product, trace_dst
 from .ops.paulis import generate_pauli
 from .qobj import GHZ, Qobj, fully_mixed, zero
+from .tomography.interval import (
+    BootstrapProcessInterval,
+    BootstrapStateInterval,
+    HolderInterval,
+    MHMCProcessInterval,
+    MHMCStateInterval,
+    MomentFidelityProcessInterval,
+    MomentFidelityStateInterval,
+    MomentInterval,
+    PolytopeProcessInterval,
+    PolytopeStateInterval,
+    SugiyamaInterval,
+)
+from .tomography.process import ProcessTomograph
+from .tomography.state import StateTomograph
 
 __version__ = "0.1.0"
 
@@ -45,10 +60,23 @@ def join_gates(gates):
 __all__ = [
     "BaseQuantum",
     "Basis",
+    "BootstrapProcessInterval",
+    "BootstrapStateInterval",
     "Channel",
     "GHZ",
+    "HolderInterval",
+    "MHMCProcessInterval",
+    "MHMCStateInterval",
+    "MomentFidelityProcessInterval",
+    "MomentFidelityStateInterval",
+    "MomentInterval",
     "Operator",
+    "PolytopeProcessInterval",
+    "PolytopeStateInterval",
+    "ProcessTomograph",
     "Qobj",
+    "StateTomograph",
+    "SugiyamaInterval",
     "basis",
     "channel",
     "config",

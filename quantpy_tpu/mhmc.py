@@ -1,0 +1,167 @@
+"""Metropolis-Hastings sampling as a lax.scan chain — on device, vmappable.
+
+Counterpart of reference quantpy/mhmc.py:6-119. The reference steps its chain
+in a Python loop with the global NumPy RNG and a tqdm.notebook progress bar
+(mhmc.py:78-84); here the whole chain (burn-in + sampling + thinning) is one
+jitted `lax.scan`, randomness comes from explicit keys, and several chains
+can run vmapped in parallel (`n_chains`).
+
+The proposal is an isotropic normal (the reference's default
+multivariate_normal, mhmc.py:41); `update_rule(x, delta, step)` maps a
+proposal displacement to the proposed point and must be jax-traceable
+(e.g. `normalized_update`, or ProcessTomograph._cptp_update_rule).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import rdtype
+
+__all__ = ["MHMC", "basic_update", "normalized_update"]
+
+
+def basic_update(x, delta, step):
+    """x + step * delta (reference mhmc.py:113-114)."""
+    return x + step * delta
+
+
+def normalized_update(x, delta, step):
+    """Renormalized step, keeps ||x|| = 1 (reference mhmc.py:117-119)."""
+    x_new = x + step * delta
+    return x_new / jnp.linalg.norm(x_new, axis=-1, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("logpdf", "update_rule", "n_steps", "keep_every")
+)
+def _run_chain(key, x0, logpdf, update_rule, step, n_steps, keep_every):
+    """Scan a Metropolis chain for n_steps; return every keep_every-th
+    state (post-hoc thinning) and the acceptance count."""
+
+    def mh_step(carry, key_t):
+        x, logp_x = carry
+        k1, k2 = jax.random.split(key_t)
+        delta = jax.random.normal(k1, x.shape, dtype=x.dtype)
+        x_prime = update_rule(x, delta, step)
+        logp_prime = logpdf(x_prime)
+        accept = jnp.log(jax.random.uniform(k2, dtype=x.dtype)) <= (
+            logp_prime - logp_x
+        )
+        x_new = jnp.where(accept, x_prime, x)
+        logp_new = jnp.where(accept, logp_prime, logp_x)
+        return (x_new, logp_new), (x_new, accept)
+
+    keys = jax.random.split(key, n_steps)
+    (_, _), (xs, accepts) = jax.lax.scan(
+        mh_step, (x0, logpdf(x0)), keys
+    )
+    return xs[keep_every - 1 :: keep_every], jnp.sum(accepts)
+
+
+class MHMC:
+    """Metropolis-Hastings sampler over an unnormalized log-density.
+
+    Parameters (matching reference mhmc.py:30-48)
+    ----------
+    target_logpdf : callable(x) -> scalar, jax-traceable
+    step : float — proposal scale
+    burn_steps : int
+    dim : int — state dimension
+    update_rule : callable or None (default: basic_update)
+    symmetric : bool — must be True (asymmetric jump corrections are not
+        supported; the reference only ever uses symmetric proposals)
+    x_init : array or None — start point (default: uniform random)
+    key : jax key or int seed
+    """
+
+    def __init__(
+        self,
+        target_logpdf,
+        jump_distr=None,
+        step: float = 0.01,
+        burn_steps: int = 100,
+        dim: int = 1,
+        update_rule=None,
+        symmetric: bool = True,
+        x_init=None,
+        key=None,
+    ):
+        if jump_distr is not None:
+            raise NotImplementedError(
+                "Only the default isotropic normal proposal is supported"
+            )
+        if not symmetric:
+            raise NotImplementedError("Asymmetric proposals are not supported")
+        self.target_logpdf = target_logpdf
+        self.step = step
+        self.burn_steps = burn_steps
+        self.dim = dim
+        self.update_rule = update_rule if update_rule is not None else basic_update
+        if key is None:
+            key = 0
+        self._key = jax.random.key(key) if isinstance(key, int) else key
+        if x_init is None:
+            self._key, sub = jax.random.split(self._key)
+            x_init = jax.random.uniform(sub, (dim,), dtype=rdtype())
+        self.x_t = jnp.asarray(x_init, dtype=rdtype())
+        self.burned = False
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def sample(self, n_samples: int, thinning: int = 1, verbose: bool = False):
+        """Generate samples (burning in first if needed).
+
+        Returns (samples (n_samples, dim) numpy array, acceptance_rate),
+        like reference mhmc.py:50-88. `verbose` is accepted for API parity
+        (progress is a single device call here, nothing to show).
+        """
+        del verbose
+        if not self.burned and self.burn_steps > 0:
+            xs, _ = _run_chain(
+                self._next_key(),
+                self.x_t,
+                self.target_logpdf,
+                self.update_rule,
+                self.step,
+                int(self.burn_steps),
+                max(int(self.burn_steps), 1),
+            )
+            self.x_t = xs[-1]
+            self.burned = True
+        total = int(n_samples) * int(thinning)
+        xs, accepted = _run_chain(
+            self._next_key(),
+            self.x_t,
+            self.target_logpdf,
+            self.update_rule,
+            self.step,
+            total,
+            int(thinning),
+        )
+        self.x_t = xs[-1]
+        return np.asarray(xs), float(accepted) / total
+
+    def sample_chains(self, n_samples: int, n_chains: int, thinning: int = 1):
+        """TPU-native extension: `n_chains` independent chains vmapped in
+        parallel from the current point, each with its own burn-in.
+        Returns (samples (n_chains, n_samples, dim), acceptance_rate)."""
+        keys = jax.random.split(self._next_key(), n_chains)
+        total = int(n_samples) * int(thinning) + int(self.burn_steps)
+
+        def one(key):
+            xs, acc = _run_chain(
+                key, self.x_t, self.target_logpdf, self.update_rule,
+                self.step, total, 1,
+            )
+            kept = xs[int(self.burn_steps) :]
+            return kept[int(thinning) - 1 :: int(thinning)], acc
+
+        xs, acc = jax.vmap(one)(keys)
+        return np.asarray(xs), float(jnp.sum(acc)) / (n_chains * total)

@@ -87,3 +87,39 @@ def matrix_to_real_tril_vec(matrix: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(
         [diag, off.real.astype(rdtype()), off.imag.astype(rdtype())], axis=-1
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) twins, for object-layer / interval-setup code that runs
+# in TPU-default processes where eager complex ops are unavailable
+# (docs/tpu_constraints.md).
+# ---------------------------------------------------------------------------
+
+
+def np_matrix_to_real_tril_vec(matrix: np.ndarray) -> np.ndarray:
+    """Numpy twin of :func:`matrix_to_real_tril_vec`."""
+    matrix = np.asarray(matrix, dtype=np.complex128)
+    d = matrix.shape[-1]
+    tril = np.linalg.cholesky(matrix)
+    rows, cols = _tril_indices_np(d)
+    didx = np.arange(d)
+    diag = tril[..., didx, didx].real
+    off = tril[..., rows, cols]
+    return np.concatenate([diag, off.real, off.imag], axis=-1)
+
+
+def np_real_tril_vec_to_matrix(vector: np.ndarray) -> np.ndarray:
+    """Numpy twin of :func:`real_tril_vec_to_matrix`."""
+    vector = np.asarray(vector, dtype=np.float64)
+    d = matrix_dim_from_param(vector.shape[-1])
+    batch_shape = vector.shape[:-1]
+    n_off = d * (d - 1) // 2
+    diag = vector[..., :d]
+    re = vector[..., d : d + n_off]
+    im = vector[..., d + n_off :]
+    rows, cols = _tril_indices_np(d)
+    tril = np.zeros(batch_shape + (d, d), dtype=np.complex128)
+    tril[..., rows, cols] = re + 1j * im
+    didx = np.arange(d)
+    tril[..., didx, didx] = diag
+    return tril @ np.swapaxes(tril.conj(), -1, -2)

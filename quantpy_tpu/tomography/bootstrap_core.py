@@ -27,11 +27,27 @@ from . import state_core
 __all__ = ["bootstrap_distances", "bootstrap_blochs"]
 
 
+@functools.partial(jax.jit, static_argnames=("name", "n_qubits"))
 def _distance_batch(name: str, blochs, bloch_ref, n_qubits: int):
-    rho_b = bloch_to_matrix(blochs, n_qubits)
-    rho_r = bloch_to_matrix(bloch_ref, n_qubits)
+    """Batched distance between bloch-encoded states; jitted so complex
+    intermediates never materialize eagerly (docs/tpu_constraints.md)."""
+    rho_b = bloch_to_matrix(jnp.asarray(blochs, rdtype()), n_qubits)
+    rho_r = bloch_to_matrix(jnp.asarray(bloch_ref, rdtype()), n_qubits)
     fn = geometry.resolve_distance(name)
     return fn(rho_b, rho_r)
+
+
+@functools.partial(jax.jit, static_argnames=("name", "n_qubits"))
+def tril_samples_distance(name: str, tril_vecs, bloch_ref, n_qubits: int):
+    """Distance of Cholesky-parametrized samples (trace-normalized) to a
+    reference state — used by the MHMC state interval."""
+    from ..ops.cholesky import real_tril_vec_to_matrix
+    from ..ops.paulis import matrix_to_bloch
+
+    rho = real_tril_vec_to_matrix(jnp.asarray(tril_vecs, rdtype()), 2**n_qubits)
+    tr = jnp.trace(rho, axis1=-2, axis2=-1).real
+    blochs = matrix_to_bloch(rho) / tr[..., None]
+    return _distance_batch(name, blochs, bloch_ref, n_qubits)
 
 
 @functools.partial(

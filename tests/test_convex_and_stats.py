@@ -1,0 +1,111 @@
+"""Convex solvers (vs scipy), stats moments (vs reference), MHMC sampler."""
+
+import numpy as np
+import pytest
+import scipy.optimize
+
+from quantpy_tpu.convex import linear_bounds_on_ball_slice, solve_lp_batch
+from quantpy_tpu.stats import l2_mean, l2_variance
+
+from .reference_shim import get_reference
+
+ref = get_reference()
+needs_ref = pytest.mark.skipif(ref is None, reason="reference unavailable")
+
+
+def test_ball_slice_vs_scipy(rng):
+    """Closed-form sliced-ball bounds match an SLSQP solve."""
+    d = 8
+    c = rng.normal(size=d)
+    center = rng.normal(size=d) * 0.1
+    fixed_idx = np.array([0, 3])
+    fixed_vals = np.array([0.5, 0.0])
+    radii = np.array([0.3, 0.8, 2.0])
+    mins, maxs = linear_bounds_on_ball_slice(c, center, radii, fixed_idx, fixed_vals)
+
+    for r, lo, hi in zip(radii, mins, maxs):
+        cons = [
+            {"type": "eq", "fun": lambda x: x[fixed_idx] - fixed_vals},
+            {"type": "ineq", "fun": lambda x: r**2 - np.sum((x - center) ** 2)},
+        ]
+        res_min = scipy.optimize.minimize(lambda x: c @ x, center.copy(), constraints=cons)
+        res_max = scipy.optimize.minimize(lambda x: -(c @ x), center.copy(), constraints=cons)
+        if np.isnan(lo):
+            assert not res_min.success or r**2 < np.sum((center[fixed_idx] - fixed_vals) ** 2)
+        else:
+            np.testing.assert_allclose(lo, res_min.fun, atol=1e-5)
+            np.testing.assert_allclose(hi, -res_max.fun, atol=1e-5)
+
+
+def test_lp_batch_vs_scipy(rng):
+    """PDHG LP solutions match scipy.linprog on bounded random polytopes."""
+    d, k = 6, 30
+    a = rng.normal(size=(k, d))
+    a = np.vstack([a, -a])  # guarantee boundedness
+    c = rng.normal(size=d)
+    b_batch = np.stack([rng.uniform(0.5, 1.5, size=2 * k) for _ in range(5)])
+    x, obj, viol = solve_lp_batch(c, a, b_batch, n_iter=30000)
+    obj = np.asarray(obj)
+    viol = np.asarray(viol)
+    assert np.all(viol < 1e-4)
+    for i in range(5):
+        res = scipy.optimize.linprog(c, A_ub=a, b_ub=b_batch[i], bounds=(None, None))
+        assert res.success
+        np.testing.assert_allclose(obj[i], res.fun, atol=2e-3)
+
+
+@needs_ref
+def test_stats_moments_parity(rng):
+    from quantpy.stats import l2_mean as ref_mean, l2_variance as ref_var
+
+    freq = rng.uniform(0.05, 1.0, size=(3, 4))
+    freq /= freq.sum(axis=1, keepdims=True)
+    w = rng.normal(size=(3, 4, 3, 4))
+    w = w + w.transpose(2, 3, 0, 1)  # symmetric weights
+    np.testing.assert_allclose(
+        l2_mean(freq, 500, w), ref_mean(freq, 500, w), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        l2_variance(freq, 500, w), ref_var(freq, 500, w), rtol=1e-10
+    )
+
+
+def test_mhmc_samples_gaussian():
+    """The sampler reproduces a known distribution."""
+    import jax.numpy as jnp
+
+    from quantpy_tpu.mhmc import MHMC
+
+    logpdf = lambda x: -0.5 * jnp.sum(x**2 / jnp.asarray([1.0, 4.0]))
+    chain = MHMC(logpdf, step=1.0, burn_steps=500, dim=2, key=5)
+    samples, rate = chain.sample(4000, thinning=2)
+    assert samples.shape == (4000, 2)
+    assert 0.1 < rate < 0.9
+    np.testing.assert_allclose(samples.mean(0), [0, 0], atol=0.25)
+    np.testing.assert_allclose(samples.std(0), [1.0, 2.0], rtol=0.2)
+
+
+def test_mhmc_multichain():
+    import jax.numpy as jnp
+
+    from quantpy_tpu.mhmc import MHMC
+
+    logpdf = lambda x: -0.5 * jnp.sum(x**2)
+    chain = MHMC(logpdf, step=0.8, burn_steps=200, dim=3, key=6)
+    samples, rate = chain.sample_chains(500, n_chains=8)
+    assert samples.shape == (8, 500, 3)
+    np.testing.assert_allclose(samples.reshape(-1, 3).std(0), 1.0, rtol=0.15)
+
+
+def test_mhmc_normalized_update():
+    import jax.numpy as jnp
+
+    from quantpy_tpu.mhmc import MHMC, normalized_update
+
+    logpdf = lambda x: jnp.asarray(0.0)  # uniform on the sphere
+    chain = MHMC(
+        logpdf, step=0.3, burn_steps=100, dim=4,
+        update_rule=normalized_update, x_init=np.array([1.0, 0, 0, 0]), key=7,
+    )
+    samples, _ = chain.sample(200)
+    np.testing.assert_allclose(np.linalg.norm(samples, axis=1), 1.0, atol=1e-5)

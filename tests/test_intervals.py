@@ -1,0 +1,270 @@
+"""Confidence-interval suite: structural checks, statistical sanity, and
+reference parity where the reference is runnable without cvxopt."""
+
+import numpy as np
+import pytest
+
+import quantpy_tpu as qt
+from quantpy_tpu.channel import dephasing, depolarizing
+from quantpy_tpu.tomography.polytopes.utils import count_confidence, count_delta
+
+from .reference_shim import get_reference
+
+ref = get_reference()
+needs_ref = pytest.mark.skipif(ref is None, reason="reference unavailable")
+
+
+@pytest.fixture(scope="module")
+def state_tmg():
+    tmg = qt.StateTomograph(qt.GHZ(2), key=21)
+    tmg.experiment(3000, "proj-set")
+    tmg.point_estimate("lin")
+    return tmg
+
+
+@pytest.fixture(scope="module")
+def process_tmg():
+    tmg = qt.ProcessTomograph(dephasing(0.3), key=22)
+    tmg.experiment(3000, "proj-set")
+    tmg.point_estimate("lifp")
+    return tmg
+
+
+def _check_monotone_interval(interval, conf_levels=None):
+    dist, cl = interval(conf_levels)
+    dist = np.asarray(dist)
+    assert np.all(np.isfinite(dist))
+    assert np.all(dist >= 0)
+    assert np.all(np.diff(dist) >= -1e-9)  # wider interval at higher confidence
+    return dist, cl
+
+
+# ------------------------------------------------------------------ moment
+
+
+def test_moment_interval_state(state_tmg):
+    dist, _ = _check_monotone_interval(qt.MomentInterval(state_tmg))
+    # the 50%-level radius should be small for 3000-shot 2-qubit data
+    assert dist[len(dist) // 2] < 0.2
+
+
+def test_moment_interval_process(process_tmg):
+    _check_monotone_interval(qt.MomentInterval(process_tmg))
+
+
+def test_moment_interval_distr_types(state_tmg):
+    for distr in ["gamma", "norm", "exp"]:
+        d, _ = qt.MomentInterval(state_tmg, distr_type=distr)(np.array([0.5, 0.9]))
+        assert np.all(np.asarray(d) > 0)
+    with pytest.raises(NotImplementedError):
+        qt.MomentInterval(state_tmg, distr_type="bogus")(np.array([0.5]))
+
+
+def test_moment_coverage_calibration(state_tmg):
+    """The moment CI should cover the true state roughly at its nominal
+    level (statistical self-verification, SURVEY.md section 4)."""
+    interval = qt.MomentInterval(state_tmg)
+    interval.setup()
+    n_trials, covered = 60, 0
+    for i in range(n_trials):
+        t = qt.StateTomograph(state_tmg.state, key=1000 + i)
+        t.experiment(3000, "proj-set")
+        est = t.point_estimate("lin")
+        iv = qt.MomentInterval(t)
+        iv.setup()
+        d90 = float(iv.cl_to_dist(0.9))
+        if float(qt.hs_dst(est, state_tmg.state)) <= d90:
+            covered += 1
+    assert covered / n_trials >= 0.8  # >= nominal 0.9 minus statistical slack
+
+
+# ------------------------------------------------------------- fidelity bands
+
+
+def test_moment_fidelity_state(state_tmg):
+    iv = qt.MomentFidelityStateInterval(state_tmg, target_state=state_tmg.state)
+    (fmin, fmax), cl = iv(np.linspace(0.1, 0.95, 10))
+    fmin, fmax = np.asarray(fmin), np.asarray(fmax)
+    assert np.all(fmin <= fmax + 1e-9)
+    true_f = 1 - float(qt.if_dst(state_tmg.reconstructed_state, state_tmg.state))
+    # the band should bracket the point-estimate fidelity at high confidence
+    assert fmin[-1] - 0.05 <= true_f <= fmax[-1] + 0.05
+    # bands widen with confidence
+    assert fmax[-1] >= fmax[0] - 1e-9
+    assert fmin[-1] <= fmin[0] + 1e-9
+
+
+def test_moment_fidelity_process(process_tmg):
+    iv = qt.MomentFidelityProcessInterval(
+        process_tmg, target_process=process_tmg.channel
+    )
+    (fmin, fmax), _ = iv(np.linspace(0.1, 0.95, 10))
+    assert np.all(np.asarray(fmin) <= np.asarray(fmax) + 1e-9)
+
+
+# ------------------------------------------------------------------ sugiyama
+
+
+def test_sugiyama_interval(state_tmg):
+    dist, _ = _check_monotone_interval(
+        qt.SugiyamaInterval(state_tmg), np.linspace(0.1, 0.99, 20)
+    )
+    with pytest.raises(NotImplementedError):
+        qt.SugiyamaInterval(qt.ProcessTomograph(depolarizing(0.5), key=1)).setup()
+
+
+@needs_ref
+def test_sugiyama_parity(state_tmg):
+    rtmg = ref.StateTomograph(ref.Qobj(state_tmg.state.matrix))
+    rtmg.experiment(3000, "proj-set")
+    rtmg.results = state_tmg.results
+    theirs = ref.SugiyamaInterval(rtmg)
+    theirs.setup()
+    ours = qt.SugiyamaInterval(state_tmg)
+    ours.setup()
+    cl = np.linspace(0.2, 0.95, 10)
+    np.testing.assert_allclose(
+        ours.cl_to_dist(cl), theirs.cl_to_dist(cl), rtol=1e-6
+    )
+
+
+# ------------------------------------------------------------------ polytopes
+
+
+def test_count_confidence_and_delta(state_tmg):
+    freq = np.clip(
+        state_tmg.results / state_tmg.n_measurements[:, None], 1e-15, 1 - 1e-15
+    )
+    deltas = np.array([0.01, 0.05, 0.2])
+    conf = np.asarray(count_confidence(deltas, freq, state_tmg.n_measurements))
+    assert np.all(np.diff(conf) >= 0)  # larger margin -> higher confidence
+    # bisection inverts count_confidence
+    d = float(count_delta(0.9, freq, state_tmg.n_measurements))
+    c = float(count_confidence(d, freq, state_tmg.n_measurements))
+    assert abs(c - 0.9) < 0.01
+
+
+@needs_ref
+def test_count_confidence_parity(state_tmg):
+    from quantpy.tomography.polytopes.utils import (
+        count_confidence as ref_conf,
+        count_delta as ref_delta,
+    )
+
+    freq = np.clip(
+        state_tmg.results / state_tmg.n_measurements[:, None], 1e-15, 1 - 1e-15
+    )
+    for delta in [0.01, 0.03, 0.1]:
+        np.testing.assert_allclose(
+            float(count_confidence(delta, freq, state_tmg.n_measurements)),
+            ref_conf(delta, freq, state_tmg.n_measurements),
+            rtol=1e-10,
+        )
+    for cl in [0.5, 0.9]:
+        np.testing.assert_allclose(
+            float(count_delta(cl, freq, state_tmg.n_measurements)),
+            ref_delta(cl, freq, state_tmg.n_measurements),
+            atol=1e-8,
+        )
+
+
+def test_polytope_state_interval(state_tmg):
+    iv = qt.PolytopeStateInterval(state_tmg, n_points=40)
+    (fmin, fmax), cl = iv(np.linspace(0.2, 0.9, 8))
+    fmin, fmax = np.asarray(fmin), np.asarray(fmax)
+    assert np.all(fmin <= fmax + 1e-6)
+    true_f = 1 - float(qt.if_dst(state_tmg.state, state_tmg.state))  # = 1 vs itself
+    # the target here is the true state; its fidelity with itself is 1, and
+    # the polytope bound at moderate confidence should bracket the fidelity
+    # between truth and any state compatible with the data
+    est_f = 1 - float(qt.if_dst(state_tmg.reconstructed_state, state_tmg.state))
+    assert fmin[0] - 0.05 <= est_f <= fmax[0] + 0.05
+    del true_f
+
+
+def test_polytope_process_interval(process_tmg):
+    iv = qt.PolytopeProcessInterval(process_tmg, n_points=30)
+    (fmin, fmax), _ = iv(np.linspace(0.2, 0.9, 5))
+    assert np.all(np.asarray(fmin) <= np.asarray(fmax) + 1e-6)
+
+
+# ------------------------------------------------------------------ bootstrap
+
+
+@pytest.mark.parametrize("method", ["lin", "mle-rhor"])
+def test_bootstrap_state_interval(state_tmg, method):
+    iv = qt.BootstrapStateInterval(state_tmg, n_points=128, method=method)
+    dist, _ = _check_monotone_interval(iv, np.linspace(0.05, 0.95, 10))
+    assert dist[-1] < 0.3
+
+
+def test_bootstrap_state_coverage(state_tmg):
+    """Bootstrap quantiles approximate the true sampling distribution."""
+    iv = qt.BootstrapStateInterval(state_tmg, n_points=256, method="lin")
+    iv.setup()
+    d90 = float(iv.cl_to_dist(0.9))
+    covered = 0
+    for i in range(40):
+        t = qt.StateTomograph(state_tmg.state, key=3000 + i)
+        t.experiment(3000, "proj-set")
+        est = t.point_estimate("lin")
+        if float(qt.hs_dst(est, state_tmg.state)) <= d90:
+            covered += 1
+    assert covered / 40 >= 0.75
+
+
+def test_bootstrap_process_interval(process_tmg):
+    iv = qt.BootstrapProcessInterval(process_tmg, n_points=64)
+    dist, _ = _check_monotone_interval(iv, np.linspace(0.05, 0.95, 10))
+    assert dist[-1] < 0.5
+
+
+# ------------------------------------------------------------------ MHMC
+
+
+def test_mhmc_state_interval(state_tmg):
+    iv = qt.MHMCStateInterval(
+        state_tmg, n_points=300, step=0.01, burn_steps=300, use_new_estimate=True
+    )
+    dist, _ = _check_monotone_interval(iv, np.linspace(0.05, 0.95, 10))
+    assert 0 < iv.acceptance_rate <= 1
+    assert dist[-1] < 0.5
+
+
+def test_mhmc_process_interval(process_tmg):
+    iv = qt.MHMCProcessInterval(
+        process_tmg, n_points=100, step=0.005, burn_steps=100,
+        use_new_estimate=True, return_samples=True,
+    )
+    out = iv.setup()
+    dist, cl, rate, mats = out
+    assert len(mats) == 100
+    assert 0 < rate <= 1
+    # every sample is CPTP up to projection tolerance
+    choi0 = qt.Channel(qt.Qobj(np.asarray(mats[0])))
+    assert choi0.is_cptp(atol=1e-3)
+
+
+# ------------------------------------------------------------------ Holder
+
+
+@pytest.mark.parametrize("kind", ["moment", "sugiyama", "bootstrap"])
+def test_holder_interval(process_tmg, kind):
+    iv = qt.HolderInterval(process_tmg, n_points=64, kind=kind)
+    dist, cl = iv(np.linspace(0.5, 0.95, 5))
+    dist = np.asarray(dist)
+    assert dist.shape == (5,)
+    assert np.all(np.isfinite(dist)) and np.all(dist >= 0)
+    with pytest.raises(ValueError):
+        qt.HolderInterval(process_tmg, kind="wang")()
+
+
+def test_intervals_reject_wrong_mode(state_tmg, process_tmg):
+    with pytest.raises(NotImplementedError):
+        qt.BootstrapStateInterval(process_tmg).setup()
+    with pytest.raises(NotImplementedError):
+        qt.BootstrapProcessInterval(state_tmg).setup()
+    with pytest.raises(NotImplementedError):
+        qt.MHMCStateInterval(process_tmg).setup()
+    with pytest.raises(NotImplementedError):
+        qt.HolderInterval(state_tmg).setup()
