@@ -269,6 +269,52 @@ def estimate_mle_rhor(
     mixed = jnp.zeros_like(init_bloch).at[..., 0].set(1.0 / dim)
     bloch0 = 0.95 * init_bloch + 0.05 * mixed
 
+    # R rho R via dense Pauli-transfer matmuls when the PTM is cached
+    # (n <= 6): measured 1.5x faster than the factored per-qubit transform
+    # chain at the 4-qubit flagship size. Works in the TRANSPOSED matrix
+    # space (column-stacked reshape of vec yields A^T; Hermitian palindromes
+    # are closed under transposition: (R rho R)^T = R^T rho^T R^T) so the
+    # reshape never needs untransposing. Real-split arithmetic keeps all
+    # matmuls MXU-shaped f32.
+    from ..ops.paulis import PTM_MAX_QUBITS, _pauli_transfer_np
+
+    use_ptm = n_qubits <= PTM_MAX_QUBITS
+
+    if use_ptm:
+        ptm = _pauli_transfer_np(n_qubits)
+        ptm_re = jnp.asarray(ptm.real, dtype=rdtype())
+        ptm_im = jnp.asarray(ptm.imag, dtype=rdtype())
+        batch_shape = bloch0.shape[:-1]
+
+        def to_mats(vecs):
+            re = (vecs @ ptm_re.T).reshape(batch_shape + (dim, dim))
+            im = (vecs @ ptm_im.T).reshape(batch_shape + (dim, dim))
+            return re, im
+
+        def from_mats(tre, tim):
+            tre = tre.reshape(batch_shape + (dim * dim,))
+            tim = tim.reshape(batch_shape + (dim * dim,))
+            return (tre @ ptm_re + tim @ ptm_im) / dim
+
+        def update(bloch, r_bloch):
+            rre, rim = to_mats(r_bloch)
+            pre, pim = to_mats(bloch)
+            sre = rre @ pre - rim @ pim
+            sim = rre @ pim + rim @ pre
+            tre = sre @ rre - sim @ rim
+            tim = sre @ rim + sim @ rre
+            new = from_mats(tre, tim)
+            return new / (dim * new[..., 0:1])
+
+    else:
+
+        def update(bloch, r_bloch):
+            r = bloch_to_matrix(r_bloch, n_qubits)
+            rho = bloch_to_matrix(bloch, n_qubits)
+            new = r @ rho @ r
+            tr = jnp.trace(new, axis1=-2, axis2=-1).real
+            return matrix_to_bloch(new) / tr[..., None]
+
     def cond(carry):
         _, it, delta = carry
         return jnp.logical_and(it < max_iter, delta > tol)
@@ -278,11 +324,7 @@ def estimate_mle_rhor(
         probs = jnp.einsum("kd,...d->...k", a2, bloch)
         c = freq / jnp.clip(probs, _NLL_EPS, None)
         r_bloch = jnp.einsum("kd,...k->...d", a2, c)
-        r = bloch_to_matrix(r_bloch, n_qubits)
-        rho = bloch_to_matrix(bloch, n_qubits)
-        new = r @ rho @ r
-        tr = jnp.trace(new, axis1=-2, axis2=-1).real
-        new_bloch = matrix_to_bloch(new) / tr[..., None]
+        new_bloch = update(bloch, r_bloch)
         delta = jnp.max(jnp.abs(new_bloch - bloch))
         return new_bloch, it + 1, delta
 
