@@ -14,7 +14,7 @@ from . import config
 
 config.set_matmul_precision("highest")  # see config.set_matmul_precision
 
-from . import basis, channel, operator, ops, qobj  # noqa: E402
+from . import basis, channel, geometry, measurements, metrics, mhmc, operator, ops, qobj, routines, stats  # noqa: E402
 from .base import BaseQuantum
 from .basis import Basis
 from .channel import Channel
@@ -79,6 +79,12 @@ __all__ = [
     "SugiyamaInterval",
     "basis",
     "channel",
+    "geometry",
+    "measurements",
+    "metrics",
+    "mhmc",
+    "routines",
+    "stats",
     "config",
     "fully_mixed",
     "generate_measurement_matrix",

@@ -1,0 +1,105 @@
+"""Aux subsystems (profiling, checkpoint/resume) + public-API parity sweep."""
+
+import numpy as np
+import pytest
+
+import quantpy_tpu as qt
+from quantpy_tpu.utils import ChunkedAccumulator, StageTimer, resumable_bootstrap
+
+from .reference_shim import get_reference
+
+ref = get_reference()
+needs_ref = pytest.mark.skipif(ref is None, reason="reference unavailable")
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        sum(range(1000))
+    with t.stage("b"):
+        pass
+    report = t.report()
+    assert set(report) == {"a", "b"}
+    assert all(v >= 0 for v in report.values())
+
+
+def test_chunked_accumulator_roundtrip(tmp_path):
+    path = str(tmp_path / "acc.npz")
+    acc = ChunkedAccumulator(path)
+    acc.append(np.arange(5.0))
+    acc.append(np.arange(5.0, 8.0))
+    # resume from disk
+    acc2 = ChunkedAccumulator(path)
+    assert acc2.n_done == 8
+    np.testing.assert_allclose(acc2.samples, np.arange(8.0))
+
+
+def test_resumable_bootstrap_matches_uninterrupted(tmp_path):
+    tmg = qt.StateTomograph(qt.GHZ(1), key=9)
+    tmg.experiment(1000, "proj-set")
+    tmg.point_estimate("lin")
+    full = resumable_bootstrap(
+        str(tmp_path / "a.npz"), tmg, n_points=48, chunk_size=16, seed=3
+    )
+    # interrupted run: do 2 chunks into file b, then resume
+    partial = resumable_bootstrap(
+        str(tmp_path / "b.npz"), tmg, n_points=32, chunk_size=16, seed=3
+    )
+    resumed = resumable_bootstrap(
+        str(tmp_path / "b.npz"), tmg, n_points=48, chunk_size=16, seed=3
+    )
+    np.testing.assert_allclose(resumed, full)
+    del partial
+
+
+@needs_ref
+def test_public_api_parity_with_reference():
+    """Every public name the reference exports has an equivalent here
+    (SURVEY.md section 1, quantpy/__init__.py:1-23)."""
+    ref_names = [n for n in dir(ref) if not n.startswith("_")]
+    # module-level infra names that are not API surface
+    skip = {"np", "la", "it", "sts", "annotations"}
+    missing = []
+    for name in ref_names:
+        if name in skip or name.islower() and type(getattr(ref, name)).__name__ == "module" and name not in (
+            "basis", "channel", "operator", "qobj",
+        ):
+            # reference re-exports some submodules implicitly; we guarantee
+            # the four it names explicitly
+            if not hasattr(qt, name):
+                continue
+        if not hasattr(qt, name):
+            missing.append(name)
+    assert not missing, f"missing public API names: {missing}"
+
+
+def test_gate_constants_exported():
+    from quantpy_tpu import operator as op
+
+    for g in ["Id", "X", "Y", "Z", "H", "T", "S", "CNOT", "CY", "CZ",
+              "SWAP", "ISWAP", "MS", "Toffoli", "Fredkin"]:
+        assert hasattr(op, g)
+
+
+@needs_ref
+def test_reference_module_paths_available():
+    """Reference submodule import paths resolve here too."""
+    import quantpy_tpu.geometry
+    import quantpy_tpu.measurements
+    import quantpy_tpu.metrics
+    import quantpy_tpu.mhmc
+    import quantpy_tpu.routines
+    import quantpy_tpu.stats
+
+    from quantpy.routines import _vec2mat as ref_vec2mat
+    from quantpy_tpu.routines import _left_inv, _mat2vec, _vec2mat
+
+    v = np.arange(16.0) + 1j
+    np.testing.assert_allclose(_vec2mat(v), ref_vec2mat(v))
+    np.testing.assert_allclose(_mat2vec(_vec2mat(v)), v)
+    a = np.random.default_rng(0).normal(size=(10, 4))
+    from quantpy.routines import _left_inv as ref_li
+
+    np.testing.assert_allclose(_left_inv(a), ref_li(a), atol=1e-10)
+    entries = quantpy_tpu.routines.generate_single_entries(3)
+    assert len(entries) == 9 and entries[4][1, 1] == 1
