@@ -555,7 +555,28 @@ class BootstrapProcessInterval(ConfidenceInterval):
             ),
             jnp.asarray(t0.n_measurements, dtype=rdtype()),
         )
-        choi_blochs = process_core.estimate_lifp(counts, a_matrix, cptp=self.cptp)
+        if self.method == "lifp":
+            choi_blochs = process_core.estimate_lifp(counts, a_matrix, cptp=self.cptp)
+        elif self.method == "pgdb":
+            choi_blochs = process_core.estimate_pgdb(counts, a_matrix)
+        elif self.method == "states":
+            from . import state_core
+            from ..ops.cplx import to_pair
+
+            est_blochs = state_core.estimate(
+                counts, t0.povm_matrix, t0.n_measurements,
+                method=self.states_est_method, physical=self.states_physical,
+                init=self.states_init,
+            )
+            dec_pair = to_pair(self.tmg._decomposed_single_entries)
+            choi_blochs = process_core.states_to_choi_bloch(est_blochs, dec_pair)
+            if self.cptp:
+                # unconditional batched projection (the reference projects
+                # only the samples that fail is_cptp, process.py:325-327;
+                # projecting a CPTP point is a no-op up to tolerance)
+                choi_blochs = process_core.cptp_project_bloch(choi_blochs)
+        else:
+            raise ValueError("Incorrect value for argument `method`")
         ref_bloch = jnp.asarray(self.channel.choi.bloch, dtype=rdtype())
         n2 = 2 * self.tmg.channel.n_qubits
         dst_name = {hs_dst: "hs", trace_dst: "trace", if_dst: "if"}.get(

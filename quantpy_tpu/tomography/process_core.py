@@ -277,3 +277,44 @@ def estimate_pgdb(
         cond, step, (x0, jnp.asarray(0), jnp.asarray(jnp.inf, rdtype()))
     )
     return x
+
+
+@functools.partial(jax.jit, static_argnames=())
+def states_to_choi_bloch(output_blochs, dec):
+    """Recombine per-input-state reconstructions into Choi bloch vectors.
+
+    The 'states' method (reference process.py:316-327) composes each
+    single-entry matrix E_(r,c) in the input basis and its image in the
+    basis of reconstructed output states with the SAME coefficients
+    dec[e, s]; since composition is linear, the whole Choi assembly is one
+    einsum + reshape:
+
+        choi[b, r*d+i, c*d+j] = sum_s dec[(r,c), s] * O[b, s, i, j]
+
+    Parameters
+    ----------
+    output_blochs : (..., S, D) reconstructed output-state bloch vectors
+    dec : (d^2, S) complex decomposition of single entries in the input
+        basis, shipped as a real (d^2, S, 2) pair (jit boundary rule).
+
+    Returns
+    -------
+    choi_bloch : (..., D^2) real Choi bloch vectors.
+    """
+    from ..ops.cplx import pair_to_complex
+
+    output_blochs = jnp.asarray(output_blochs, dtype=rdtype())
+    d2, s = dec.shape[0], dec.shape[1]
+    d = int(round(math.sqrt(d2)))
+    n = int(round(math.log2(d)))
+    o_mats = bloch_to_matrix(output_blochs, n)  # (..., S, d, d)
+    dec_c = pair_to_complex(jnp.asarray(dec, dtype=rdtype()))
+    t = jnp.einsum("es,...sij->...eij", dec_c, o_mats)
+    batch = t.shape[:-3]
+    t = t.reshape(batch + (d, d, d, d))
+    # axes (r, c, i, j) -> (r, i, c, j)
+    perm = tuple(range(len(batch))) + tuple(
+        len(batch) + k for k in (0, 2, 1, 3)
+    )
+    choi = t.transpose(perm).reshape(batch + (d * d, d * d))
+    return matrix_to_bloch(choi)

@@ -268,3 +268,20 @@ def test_intervals_reject_wrong_mode(state_tmg, process_tmg):
         qt.MHMCStateInterval(process_tmg).setup()
     with pytest.raises(NotImplementedError):
         qt.HolderInterval(state_tmg).setup()
+
+
+@pytest.mark.parametrize("method", ["pgdb", "states"])
+def test_bootstrap_process_interval_methods(process_tmg, method):
+    iv = qt.BootstrapProcessInterval(process_tmg, n_points=32, method=method)
+    dist, _ = iv(np.linspace(0.1, 0.9, 5))
+    dist = np.asarray(dist)
+    assert np.all(np.isfinite(dist)) and np.all(np.diff(dist) >= -1e-9)
+    assert dist[-1] < 0.5
+
+
+def test_holder_mhmc(process_tmg):
+    iv = qt.HolderInterval(
+        process_tmg, n_points=50, kind="mhmc", burn_steps=50, step=0.02
+    )
+    dist, cl = iv(np.linspace(0.5, 0.9, 3))
+    assert np.all(np.isfinite(np.asarray(dist)))
