@@ -1,0 +1,205 @@
+"""Kron-factored measurement paths — tomography without materializing POVMs.
+
+For product POVMs (every preset, and any per-qubit design) the full
+measurement matrix is a Kronecker power: at 6 qubits, proj-set is
+(729, 64, 4096) = 0.8 GB of redundant structure, and the reference's dense
+linear inversion over it takes ~45 s (BASELINE.md). This module exploits the
+factorization end to end:
+
+- probabilities p = (2^n/M) * (kron_n A1) bloch  -> an n-operand einsum
+  chain of per-qubit (m1, p1, 4) contractions, O(n * 6^n) work;
+- the adjoint A^T c is the mirrored chain;
+- the linear-inversion Gram matrix factorizes: (kron A1)^T (kron A1) =
+  kron(A1^T A1), so the normal-equation solve is n tiny 4x4 solves applied
+  as another einsum chain;
+- RrhoR MLE reuses the same two chains for its matvecs.
+
+Everything is jitted with real-only boundaries; the only 6^n-sized arrays
+are the outcome counts themselves.
+
+Restriction: uniform shot counts per POVM (warm-start reweighting breaks
+the product structure; the dense path handles that case).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import string
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import rdtype
+from ..ops.paulis import bloch_to_matrix, matrix_to_bloch
+from ..ops.sampling import sample_multinomial
+
+__all__ = [
+    "kron_probs",
+    "kron_apply_adjoint",
+    "kron_simulate",
+    "kron_estimate_lin",
+    "kron_estimate_mle_rhor",
+]
+
+_NLL_EPS = 1e-10
+
+
+def _subscripts(n: int, batch: str = "z"):
+    """Index letters for the n-qubit chains: (m_k, p_k, d_k) per qubit."""
+    letters = string.ascii_lowercase.replace(batch, "") + string.ascii_uppercase
+    m = letters[:n]
+    p = letters[n : 2 * n]
+    d = letters[2 * n : 3 * n]
+    return m, p, d
+
+
+def _forward_spec(n: int) -> str:
+    """einsum: bloch (z, d1..dn) x n povm1 factors -> (z, m1..mn, p1..pn)."""
+    m, p, d = _subscripts(n)
+    operands = ["z" + "".join(d)]
+    operands += [m[k] + p[k] + d[k] for k in range(n)]
+    return ",".join(operands) + "->z" + "".join(m) + "".join(p)
+
+
+def _adjoint_spec(n: int) -> str:
+    """einsum: c (z, m.., p..) x n povm1 factors -> (z, d1..dn)."""
+    m, p, d = _subscripts(n)
+    operands = ["z" + "".join(m) + "".join(p)]
+    operands += [m[k] + p[k] + d[k] for k in range(n)]
+    return ",".join(operands) + "->z" + "".join(d)
+
+
+def _solve_spec(n: int) -> str:
+    """einsum: rhs (z, d1..dn) x n gram-inverse factors -> (z, e1..en)."""
+    m, p, d = _subscripts(n)
+    e = p  # reuse letters: p's are free here
+    operands = ["z" + "".join(d)]
+    operands += [d[k] + e[k] for k in range(n)]
+    return ",".join(operands) + "->z" + "".join(e)
+
+
+def kron_probs(povm1, n_qubits: int, bloch):
+    """Outcome probabilities 2^n * (kron povm1) . bloch, clipped to [0, 1].
+
+    povm1: (m1, p1, 4); bloch: (..., 4^n). Returns (..., m1^n, p1^n).
+    Matches state_core.experiment_probabilities on the materialized POVM.
+    """
+    povm1 = jnp.asarray(povm1, dtype=rdtype())
+    bloch = jnp.asarray(bloch, dtype=rdtype())
+    n = n_qubits
+    m1, p1, _ = povm1.shape
+    batch_shape = bloch.shape[:-1]
+    x = bloch.reshape((-1,) + (4,) * n)
+    out = jnp.einsum(_forward_spec(n), x, *([povm1] * n), optimize=True)
+    out = out.reshape(batch_shape + (m1**n, p1**n)) * (2**n)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def kron_apply_adjoint(povm1, n_qubits: int, c):
+    """(kron povm1)^T c for c of shape (..., m1^n, p1^n) -> (..., 4^n)."""
+    povm1 = jnp.asarray(povm1, dtype=rdtype())
+    c = jnp.asarray(c, dtype=rdtype())
+    n = n_qubits
+    m1, p1, _ = povm1.shape
+    batch_shape = c.shape[:-2]
+    x = c.reshape((-1,) + (m1,) * n + (p1,) * n)
+    out = jnp.einsum(_adjoint_spec(n), x, *([povm1] * n), optimize=True)
+    return out.reshape(batch_shape + (4**n,))
+
+
+@jax.jit
+def kron_simulate(key, povm1, bloch, n_shots):
+    """Multinomial experiment simulation on the factored design.
+
+    bloch (..., 4^n); returns counts (..., m1^n, p1^n); n_shots scalar
+    (uniform shots per POVM)."""
+    import math as _math
+
+    povm1 = jnp.asarray(povm1, dtype=rdtype())
+    n = int(round(_math.log(jnp.asarray(bloch).shape[-1], 4)))
+    probs = kron_probs(povm1, n, bloch)
+    n_arr = jnp.full(probs.shape[:-1], n_shots, dtype=rdtype())
+    return sample_multinomial(key, n_arr, probs)
+
+
+def _gram1_inv(povm1) -> jnp.ndarray:
+    """Inverse single-qubit Gram factor (A1^T A1)^{-1}, A1 = flattened rows."""
+    a1 = jnp.asarray(povm1, dtype=rdtype()).reshape(-1, povm1.shape[-1])
+    return jnp.linalg.inv(a1.T @ a1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_qubits", "physical"))
+def kron_estimate_lin(counts, povm1, n_qubits: int, physical: bool = True):
+    """Linear inversion on the factored design (uniform weights).
+
+    Solves the same weighted least-squares problem as state_core.estimate_lin
+    (weights w_m = 1/M cancel between Gram and rhs for uniform shots):
+        bloch = kron(G1^{-1}) A^T f_rownorm * M / 2^n ... assembled from
+    per-qubit factors; no array larger than the counts is formed.
+    """
+    counts = jnp.asarray(counts, dtype=rdtype())
+    n = n_qubits
+    m_total = counts.shape[-2]
+    batch_shape = counts.shape[:-2]
+    freq = counts / jnp.sum(counts, axis=(-2, -1), keepdims=True)
+    rhs = kron_apply_adjoint(povm1, n, freq)  # (batch, 4^n), carries 1/M via f
+    g1 = _gram1_inv(povm1)
+    x = rhs.reshape((-1,) + (4,) * n)
+    sol = jnp.einsum(_solve_spec(n), x, *([g1] * n), optimize=True)
+    # undo uniform weighting: A_w = A/M in both gram (1/M^2) and rhs (1/M)
+    bloch = sol.reshape(batch_shape + (4**n,)) * m_total / (2**n)
+    if physical:
+        from .state_core import make_feasible_bloch
+
+        bloch = make_feasible_bloch(bloch, n)
+    return bloch
+
+
+@functools.partial(jax.jit, static_argnames=("n_qubits", "max_iter"))
+def kron_estimate_mle_rhor(
+    counts,
+    povm1,
+    n_qubits: int,
+    init_bloch=None,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+):
+    """RrhoR fixed-point MLE with factored matvecs (uniform weights).
+
+    Identical fixed point to state_core.estimate_mle_rhor on the
+    materialized POVM; the per-iteration matvecs run as einsum chains."""
+    counts = jnp.asarray(counts, dtype=rdtype())
+    n = n_qubits
+    dim = 2**n
+    m_total = counts.shape[-2]
+    scale = (2**n) / m_total  # weighted effect scaling (w_m = 1/M) * 2^n
+    freq = counts / jnp.sum(counts, axis=(-2, -1), keepdims=True)
+    if init_bloch is None:
+        init_bloch = kron_estimate_lin(counts, povm1, n, physical=True)
+    init_bloch = jnp.asarray(init_bloch, dtype=rdtype())
+    mixed = jnp.zeros_like(init_bloch).at[..., 0].set(1.0 / dim)
+    bloch0 = 0.95 * init_bloch + 0.05 * mixed
+
+    def cond(carry):
+        _, it, delta = carry
+        return jnp.logical_and(it < max_iter, delta > tol)
+
+    def step(carry):
+        bloch, it, _ = carry
+        probs = kron_probs(povm1, n, bloch) / m_total
+        c = freq / jnp.clip(probs, _NLL_EPS, None)
+        r_bloch = kron_apply_adjoint(povm1, n, c) * scale
+        r = bloch_to_matrix(r_bloch, n)
+        rho = bloch_to_matrix(bloch, n)
+        new = r @ rho @ r
+        tr = jnp.trace(new, axis1=-2, axis2=-1).real
+        new_bloch = matrix_to_bloch(new) / tr[..., None]
+        delta = jnp.max(jnp.abs(new_bloch - bloch))
+        return new_bloch, it + 1, delta
+
+    bloch, _, _ = jax.lax.while_loop(
+        cond, step, (bloch0, jnp.asarray(0), jnp.asarray(jnp.inf, rdtype()))
+    )
+    return bloch

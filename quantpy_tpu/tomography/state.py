@@ -58,13 +58,58 @@ class StateTomograph:
 
     # -- experiment simulation ------------------------------------------------
 
+    #: dense-POVM element budget; beyond it the experiment runs in
+    #: kron-factored mode and never materializes the measurement matrix
+    #: (proj-set at 6 qubits is 0.8 GB dense; see kron_core)
+    DENSE_POVM_MAX_ELEMENTS = 2**25
+
     def experiment(self, n_measurements, povm="proj-set", warm_start: bool = False):
         """Simulate a tomography experiment
         (reference state.py:71-128).
 
         warm_start=True merges the new POVM block with the previous one,
         reweighting rows by shot counts (reference state.py:116-124).
+
+        For single-qubit-block designs whose tensor power exceeds
+        `DENSE_POVM_MAX_ELEMENTS`, the experiment runs on the kron-factored
+        path: `povm_matrix` stays None, `povm_kron` holds the (m1, p1, 4)
+        block, and estimation uses the factored estimators (uniform shots
+        only; warm_start requires the dense path).
         """
+        n = self.state.n_qubits
+        povm_block = None
+        if isinstance(povm, str):
+            from ..measurements import _single_qubit_preset
+
+            povm_block = _single_qubit_preset(povm)
+        elif isinstance(povm, np.ndarray) and povm.shape[-1] == 4 and n > 1:
+            povm_block = povm if povm.ndim == 3 else povm[None]
+        if povm_block is not None:
+            m1, p1, _ = povm_block.shape
+            dense_elements = (m1 * p1 * 4) ** n
+            uniform = np.issubdtype(type(n_measurements), np.integer)
+            if dense_elements > self.DENSE_POVM_MAX_ELEMENTS and uniform:
+                if warm_start:
+                    raise NotImplementedError(
+                        "warm_start requires the dense-POVM path; design too "
+                        "large to materialize"
+                    )
+                from . import kron_core
+
+                self.povm_kron = np.asarray(povm_block, dtype=np.float64)
+                self.povm_matrix = None
+                counts = kron_core.kron_simulate(
+                    self._next_key(),
+                    self.povm_kron,
+                    self.state.bloch_device(),
+                    float(n_measurements),
+                )
+                self._results = np.asarray(counts, dtype=np.float64)
+                self.n_measurements = np.full(
+                    self._results.shape[0], float(n_measurements)
+                )
+                return
+        self.povm_kron = None
         povm_matrix = generate_measurement_matrix(povm, self.state.n_qubits)
         n_povms = povm_matrix.shape[0]
         if np.issubdtype(type(n_measurements), np.integer):
@@ -133,16 +178,33 @@ class StateTomograph:
         """
         if self._results is None:
             raise RuntimeError("Run `experiment` or set `results` first")
-        bloch = state_core.estimate(
-            self._results,
-            self.povm_matrix,
-            self.n_measurements,
-            method=method,
-            physical=physical,
-            init=init,
-            max_iter=max_iter,
-            tol=tol,
-        )
+        if self.povm_matrix is None and getattr(self, "povm_kron", None) is not None:
+            from . import kron_core
+
+            n = self.state.n_qubits
+            if method == "lin":
+                bloch = kron_core.kron_estimate_lin(
+                    self._results, self.povm_kron, n, physical=physical
+                )
+            elif method in ("mle", "mle-rhor"):
+                bloch = kron_core.kron_estimate_mle_rhor(
+                    self._results, self.povm_kron, n, max_iter=max(max_iter, 100)
+                )
+            else:
+                raise NotImplementedError(
+                    f"method {method!r} is not available on the kron-factored path"
+                )
+        else:
+            bloch = state_core.estimate(
+                self._results,
+                self.povm_matrix,
+                self.n_measurements,
+                method=method,
+                physical=physical,
+                init=init,
+                max_iter=max_iter,
+                tol=tol,
+            )
         self.reconstructed_state = Qobj(np.asarray(bloch, dtype=np.float64))
         return self.reconstructed_state
 

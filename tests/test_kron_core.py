@@ -1,0 +1,107 @@
+"""Kron-factored measurement paths vs the dense reference paths."""
+
+import jax
+import numpy as np
+import pytest
+
+import quantpy_tpu as qt
+from quantpy_tpu.tomography import kron_core, state_core
+from quantpy_tpu.measurements import _single_qubit_preset
+
+
+@pytest.fixture(scope="module", params=[2, 3])
+def problem(request):
+    n = request.param
+    state = qt.GHZ(n)
+    tmg = qt.StateTomograph(state, key=77)
+    tmg.experiment(5000, "proj-set")
+    counts = np.asarray(tmg.simulate_batch(6))
+    povm1 = _single_qubit_preset("proj-set")
+    return n, tmg, counts, povm1
+
+
+def test_kron_probs_match_dense(problem):
+    n, tmg, counts, povm1 = problem
+    bloch = tmg.state.bloch
+    dense = np.asarray(state_core.experiment_probabilities(tmg.povm_matrix, bloch))
+    kron = np.asarray(kron_core.kron_probs(povm1, n, bloch))
+    np.testing.assert_allclose(kron, dense, atol=1e-10)
+
+
+def test_kron_adjoint_matches_dense(problem):
+    n, tmg, counts, povm1 = problem
+    c = counts[0] / counts[0].sum()
+    dense_flat = tmg.povm_matrix.reshape(-1, 4**n)
+    expected = dense_flat.T @ c.reshape(-1)
+    got = np.asarray(kron_core.kron_apply_adjoint(povm1, n, c))
+    np.testing.assert_allclose(got, expected, atol=1e-10)
+
+
+@pytest.mark.parametrize("physical", [False, True])
+def test_kron_lin_matches_dense(problem, physical):
+    n, tmg, counts, povm1 = problem
+    dense = np.asarray(
+        state_core.estimate_lin(counts, tmg.povm_matrix, tmg.n_measurements,
+                                physical=physical)
+    )
+    kron = np.asarray(kron_core.kron_estimate_lin(counts, povm1, n,
+                                                  physical=physical))
+    np.testing.assert_allclose(kron, dense, atol=1e-8)
+
+
+def test_kron_mle_matches_dense(problem):
+    n, tmg, counts, povm1 = problem
+    dense = np.asarray(
+        state_core.estimate_mle_rhor(counts, tmg.povm_matrix,
+                                     tmg.n_measurements, max_iter=80, tol=0.0)
+    )
+    kron = np.asarray(
+        kron_core.kron_estimate_mle_rhor(counts, povm1, n, max_iter=80, tol=0.0)
+    )
+    np.testing.assert_allclose(kron, dense, atol=1e-7)
+
+
+def test_kron_simulate_statistics(problem):
+    n, tmg, counts, povm1 = problem
+    c = np.asarray(kron_core.kron_simulate(jax.random.key(5), povm1,
+                                           tmg.state.bloch, 10000))
+    assert c.shape == (3**n, 2**n)
+    np.testing.assert_allclose(c.sum(-1), 10000)
+    probs = np.asarray(kron_core.kron_probs(povm1, n, tmg.state.bloch))
+    assert np.max(np.abs(c / 10000 - probs)) < 0.03
+
+
+def test_kron_6qubit_lin_smoke():
+    """6-qubit linear inversion without materializing the 0.8 GB POVM
+    (the reference takes ~45 s on the dense one, BASELINE.md)."""
+    n = 6
+    state = qt.GHZ(n)
+    povm1 = _single_qubit_preset("proj-set")
+    counts = kron_core.kron_simulate(jax.random.key(6), povm1, state.bloch, 10_000)
+    assert counts.shape == (729, 64)
+    bloch = np.asarray(kron_core.kron_estimate_lin(counts, povm1, n))
+    est = qt.Qobj(bloch)
+    assert abs(est.trace().real - 1) < 1e-6
+    d = float(qt.hs_dst(est, state))
+    d_mixed = float(qt.hs_dst(qt.fully_mixed(n), state))
+    assert d < 0.2 and d < d_mixed / 3, (d, d_mixed)
+
+
+def test_state_tomograph_kron_mode():
+    """StateTomograph transparently switches to kron mode for big designs."""
+    tmg = qt.StateTomograph(qt.GHZ(6), key=88)
+    tmg.experiment(10_000, "proj-set")
+    assert tmg.povm_matrix is None and tmg.povm_kron is not None
+    assert tmg.results.shape == (729, 64)
+    est = tmg.point_estimate("lin")
+    assert float(qt.hs_dst(est, tmg.state)) < 0.2
+    est2 = tmg.point_estimate("mle-rhor", max_iter=40)
+    assert float(qt.hs_dst(est2, tmg.state)) < 0.2
+    with pytest.raises(NotImplementedError):
+        tmg.point_estimate("mle-constr")
+    with pytest.raises(NotImplementedError):
+        tmg.experiment(1000, "proj-set", warm_start=True)
+    # small designs still use the dense path
+    t2 = qt.StateTomograph(qt.GHZ(2), key=89)
+    t2.experiment(1000, "proj-set")
+    assert t2.povm_matrix is not None
