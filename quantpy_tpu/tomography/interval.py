@@ -455,7 +455,27 @@ class BootstrapStateInterval(ConfidenceInterval):
                 )
         dst_name = {hs_dst: "hs", trace_dst: "trace", if_dst: "if"}.get(self.tmg.dst)
         key = self.key if self.key is not None else jax.random.key(17)
-        if dst_name is not None:
+        if (
+            self.tmg.povm_matrix is None
+            and getattr(self.tmg, "povm_kron", None) is not None
+        ):
+            from . import kron_core
+
+            dist = np.asarray(
+                kron_core.kron_bootstrap_distances(
+                    key,
+                    np.asarray(self.state.bloch, dtype=np.float64),
+                    self.tmg.povm_kron,
+                    self.tmg.state.n_qubits,
+                    float(self.tmg.n_measurements[0]),
+                    n_points=self.n_points,
+                    method=self.method,
+                    dst=dst_name or "hs",
+                    max_iter=self.max_iter,
+                ),
+                dtype=np.float64,
+            )
+        elif dst_name is not None:
             dist = np.asarray(
                 bootstrap_core.bootstrap_distances(
                     key,
@@ -611,12 +631,17 @@ class MHMCStateInterval(ConfidenceInterval):
         state=None,
         verbose: bool = False,
         key=None,
+        temper: bool = True,
     ):
+        """`temper=True` (default) samples exp(-NLL/N) like the reference
+        (its _nll is frequency-normalized, state.py:217-229) — a posterior
+        flattened by the total shot count, giving very wide intervals.
+        `temper=False` samples the true count-weighted likelihood."""
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
             thinning=thinning, warm_start=warm_start,
             use_new_estimate=use_new_estimate, state=state, verbose=verbose,
-            key=key,
+            key=key, temper=temper,
         )
 
     def setup(self):
@@ -634,8 +659,9 @@ class MHMCStateInterval(ConfidenceInterval):
             mat = self.state.matrix + 1e-7 * np.eye(self.state.matrix.shape[0])
             mat = mat / np.trace(mat).real
             x_init = np_matrix_to_real_tril_vec(mat)
+            scale = 1.0 if self.temper else float(np.sum(self.tmg.n_measurements))
             self.chain = MHMC(
-                lambda x: -self.tmg._nll(x),
+                lambda x: -scale * self.tmg._nll(x),
                 step=self.step,
                 burn_steps=self.burn_steps,
                 dim=dim,

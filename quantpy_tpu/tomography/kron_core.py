@@ -203,3 +203,34 @@ def kron_estimate_mle_rhor(
         cond, step, (bloch0, jnp.asarray(0), jnp.asarray(jnp.inf, rdtype()))
     )
     return bloch
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_qubits", "n_points", "method", "dst", "max_iter")
+)
+def kron_bootstrap_distances(
+    key,
+    bloch_est,
+    povm1,
+    n_qubits: int,
+    n_shots,
+    n_points: int,
+    method: str = "lin",
+    dst: str = "hs",
+    max_iter: int = 100,
+):
+    """Parametric bootstrap on the kron-factored design: simulate + estimate
+    + distance for `n_points` resamples in one program (the factored twin of
+    bootstrap_core.bootstrap_distances)."""
+    from .bootstrap_core import _distance_batch
+
+    bloch_est = jnp.asarray(bloch_est, dtype=rdtype())
+    blochs = jnp.broadcast_to(bloch_est, (n_points,) + bloch_est.shape)
+    counts = kron_simulate(key, povm1, blochs, n_shots)
+    if method == "lin":
+        est = kron_estimate_lin(counts, povm1, n_qubits)
+    elif method in ("mle", "mle-rhor"):
+        est = kron_estimate_mle_rhor(counts, povm1, n_qubits, max_iter=max_iter)
+    else:
+        raise ValueError(f"method {method!r} unsupported on the kron path")
+    return _distance_batch(dst, est, bloch_est, n_qubits)

@@ -218,12 +218,20 @@ class StateTomograph:
 
         from ..config import rdtype
 
-        if self.povm_matrix is None:
+        if self.povm_matrix is None and getattr(self, "povm_kron", None) is None:
             raise RuntimeError("Run `experiment` first to fix the design")
         bloch = (state or self.state).bloch_device()
         blochs = jnp.broadcast_to(bloch, (n_experiments,) + bloch.shape)
+        k = key if key is not None else self._next_key()
+        if self.povm_matrix is None:
+            from . import kron_core
+
+            return kron_core.kron_simulate(
+                k, jnp.asarray(self.povm_kron, dtype=rdtype()), blochs,
+                float(self.n_measurements[0]),
+            )
         return state_core.simulate_experiment(
-            key if key is not None else self._next_key(),
+            k,
             jnp.asarray(self.povm_matrix, dtype=rdtype()),
             blochs,
             self.n_measurements,
@@ -232,6 +240,23 @@ class StateTomograph:
     def estimate_batch(self, counts, method: str = "lin", **kwargs):
         """Estimate a batch of experiments at once; returns bloch vectors
         (batch, 4^n) as a device array."""
+        if self.povm_matrix is None and getattr(self, "povm_kron", None) is not None:
+            from . import kron_core
+
+            n = self.state.n_qubits
+            if method == "lin":
+                return kron_core.kron_estimate_lin(
+                    counts, self.povm_kron, n,
+                    physical=kwargs.get("physical", True),
+                )
+            if method in ("mle", "mle-rhor"):
+                return kron_core.kron_estimate_mle_rhor(
+                    counts, self.povm_kron, n,
+                    max_iter=kwargs.get("max_iter", 100),
+                )
+            raise NotImplementedError(
+                f"method {method!r} is not available on the kron-factored path"
+            )
         return state_core.estimate(
             counts, self.povm_matrix, self.n_measurements, method=method, **kwargs
         )

@@ -285,3 +285,20 @@ def test_holder_mhmc(process_tmg):
     )
     dist, cl = iv(np.linspace(0.5, 0.9, 3))
     assert np.all(np.isfinite(np.asarray(dist)))
+
+
+def test_mhmc_untempered_is_tighter(state_tmg):
+    """The true-posterior (count-weighted) MHMC concentrates near the
+    estimate; the reference's tempered variant is orders wider."""
+    wide = qt.MHMCStateInterval(
+        state_tmg, n_points=200, burn_steps=200, use_new_estimate=True,
+        temper=True, key=None,
+    )
+    dw, _ = wide(np.array([0.9]))
+    tight = qt.MHMCStateInterval(
+        state_tmg, n_points=200, burn_steps=400, step=0.002,
+        use_new_estimate=True, temper=False,
+    )
+    dt, _ = tight(np.array([0.9]))
+    assert float(dt[0]) < float(dw[0])
+    assert float(dt[0]) < 0.2

@@ -105,3 +105,16 @@ def test_state_tomograph_kron_mode():
     t2 = qt.StateTomograph(qt.GHZ(2), key=89)
     t2.experiment(1000, "proj-set")
     assert t2.povm_matrix is not None
+
+
+def test_kron_bootstrap_interval():
+    """BASELINE config 5 at structural scale: GHZ bootstrap CI on the
+    kron-factored design."""
+    tmg = qt.StateTomograph(qt.GHZ(6), key=90)
+    tmg.experiment(5000, "proj-set")
+    tmg.point_estimate("lin")
+    iv = qt.BootstrapStateInterval(tmg, n_points=8, method="lin")
+    d, _ = iv(np.array([0.5, 0.9]))
+    d = np.asarray(d)
+    assert d.shape == (2,) and np.all(np.isfinite(d)) and d[0] <= d[1]
+    assert d[1] < 0.5
