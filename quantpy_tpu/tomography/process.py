@@ -184,9 +184,18 @@ class ProcessTomograph:
         if self.tomographs is None or self.tomographs[0].results is None:
             raise RuntimeError("Run `experiment` or set `results` first")
         if method == "lifp":
-            a = self._measurement_operator()
-            choi_bloch = process_core.estimate_lifp(
-                self.results, a, cptp=cptp, cptp_tol=self._cptp_tol(tol)
+            import jax.numpy as jnp
+
+            from ..config import rdtype
+
+            t0 = self.tomographs[0]
+            choi_bloch = process_core.estimate_lifp_factored(
+                self.results,
+                jnp.asarray(self._input_blochs_t(), dtype=rdtype()),
+                jnp.asarray(t0.povm_matrix, dtype=rdtype()),
+                jnp.asarray(t0.n_measurements, dtype=rdtype()),
+                cptp=cptp,
+                cptp_tol=self._cptp_tol(tol),
             )
             self.reconstructed_channel = Channel(
                 Qobj(np.asarray(choi_bloch, dtype=np.float64))

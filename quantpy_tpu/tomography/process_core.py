@@ -318,3 +318,44 @@ def states_to_choi_bloch(output_blochs, dec):
     )
     choi = t.transpose(perm).reshape(batch + (d * d, d * d))
     return matrix_to_bloch(choi)
+
+
+@functools.partial(jax.jit, static_argnames=("cptp", "cptp_iter"))
+def estimate_lifp_factored(
+    counts,
+    input_blochs_t,
+    povm_matrix,
+    n_measurements,
+    cptp: bool = True,
+    cptp_iter: int = 1000,
+    cptp_tol: float = 1e-8,
+):
+    """Linear-inversion process estimate WITHOUT materializing the
+    (S*K, 16^n) measurement operator.
+
+    The operator factorizes as A = 4^n * (B (x) W) with B the input blochs
+    and W the weighted POVM rows (probabilities live on the 2n-qubit space,
+    hence the 4^n trace scale), so its Gram splits,
+    (A^T A) = 16^n (B^T B) (x) (W^T W), and the normal-equation solution is
+
+        Choi[a, b] = (1/4^n) * [(B^T B)^{-1} B^T  F  W (W^T W)^{-1}]
+
+    with F the (S, K) frequency table — three small matmuls and two solves.
+    Same estimate as estimate_lifp (parity-tested); this path scales to
+    3+ qubit channels where the dense A is hundreds of MB.
+    """
+    counts = jnp.asarray(counts, dtype=rdtype())
+    b = jnp.asarray(input_blochs_t, dtype=rdtype())  # (S, D1)
+    w = state_core.weighted_povm_flat(povm_matrix, n_measurements)  # (K, D1)
+    d1 = b.shape[-1]  # 4^n, also the probability trace scale
+    freq = counts.reshape(counts.shape[:-2] + (-1,))  # (..., S, K)
+    freq = freq / jnp.sum(freq, axis=-1, keepdims=True)
+    b_pinv = jnp.linalg.solve(b.T @ b, b.T)  # (D1, S)
+    w_pinv = jnp.linalg.solve(w.T @ w, w.T).T  # (K, D1)
+    choi_mat = jnp.einsum(
+        "ds,...sk,ke->...de", b_pinv, freq, w_pinv
+    ) / d1
+    choi_bloch = choi_mat.reshape(choi_mat.shape[:-2] + (d1 * d1,))
+    if cptp:
+        choi_bloch = cptp_project_bloch(choi_bloch, cptp_iter, cptp_tol)
+    return choi_bloch

@@ -143,3 +143,39 @@ def test_unitary_channel_reconstruction():
     tmg.experiment(50000, "proj-set")
     est = tmg.point_estimate("lifp")
     assert choi_dist(est, true) < 0.05
+
+
+def test_lifp_factored_matches_dense():
+    """Factored linear inversion equals the dense-operator solution."""
+    import jax.numpy as jnp
+
+    from quantpy_tpu.tomography import process_core
+
+    true = amplitude_damping(0.3)
+    tmg = ProcessTomograph(true, key=9)
+    tmg.experiment(5000, "proj-set")
+    a = tmg._measurement_operator()
+    dense = np.asarray(process_core.estimate_lifp(tmg.results, a, cptp=False))
+    t0 = tmg.tomographs[0]
+    fact = np.asarray(
+        process_core.estimate_lifp_factored(
+            tmg.results,
+            jnp.asarray(tmg._input_blochs_t()),
+            jnp.asarray(t0.povm_matrix),
+            jnp.asarray(t0.n_measurements),
+            cptp=False,
+        )
+    )
+    np.testing.assert_allclose(fact, dense, atol=1e-10)
+
+
+def test_three_qubit_process_tomography():
+    """3-qubit QPT end to end — the dense operator would be ~0.5 GB."""
+    from quantpy_tpu.operator import H as Hgate
+
+    w = Hgate.kron(Hgate).kron(Hgate).as_channel()
+    tmg = ProcessTomograph(w, input_states="sic", key=10)
+    tmg.experiment(3000, "proj-set")
+    est = tmg.point_estimate("lifp", cptp=True)
+    assert float(qt.hs_dst(est.choi, w.choi)) < 0.2
+    assert est.is_cptp(atol=1e-3)
