@@ -1,0 +1,70 @@
+"""Qubit-count scaling study: factored vs dense measurement paths.
+
+The reference's dense linear inversion hits ~45 s at 6 qubits
+(BASELINE.md); the kron-factored paths (tomography/kron_core.py) keep the
+whole pipeline at tens of milliseconds through 7 qubits because nothing
+larger than the outcome counts is ever materialized.
+
+Run:  python examples/scaling_study.py [--max-qubits 7]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import quantpy_tpu as qt
+from quantpy_tpu.measurements import _single_qubit_preset
+from quantpy_tpu.tomography import kron_core
+
+
+def main(max_qubits: int) -> None:
+    povm1 = jnp.asarray(_single_qubit_preset("proj-set"))
+    print(f"{'n':>2} | {'counts shape':>14} | {'simulate':>9} | {'lin':>9} | "
+          f"{'mle-60':>9} | {'mle hs-to-truth':>15}")
+    for n in range(2, max_qubits + 1):
+        state = qt.GHZ(n)
+        bloch = jnp.asarray(state.bloch)
+
+        def run_sim(k):
+            return kron_core.kron_simulate(k, povm1, bloch, 10_000.0)
+
+        counts = run_sim(jax.random.key(n))
+        jax.block_until_ready(counts)
+        t0 = time.time()
+        counts = run_sim(jax.random.key(n + 50))
+        jax.block_until_ready(counts)
+        t_sim = time.time() - t0
+
+        def run_lin(c):
+            return kron_core.kron_estimate_lin(c, povm1, n)
+
+        run_lin(counts).block_until_ready()
+        t0 = time.time()
+        run_lin(counts).block_until_ready()
+        t_lin = time.time() - t0
+
+        def run_mle(c):
+            return kron_core.kron_estimate_mle_rhor(c, povm1, n, max_iter=60)
+
+        est = run_mle(counts)
+        est.block_until_ready()
+        t0 = time.time()
+        est = run_mle(counts)
+        est.block_until_ready()
+        t_mle = time.time() - t0
+        d = float(qt.hs_dst(qt.Qobj(np.asarray(est, np.float64)), state))
+        print(f"{n:>2} | {str(tuple(counts.shape)):>14} | {t_sim*1e3:>7.1f}ms | "
+              f"{t_lin*1e3:>7.1f}ms | {t_mle*1e3:>7.1f}ms | {d:>15.4f}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--max-qubits", type=int, default=7)
+    args = parser.parse_args()
+    print("devices:", jax.devices())
+    main(args.max_qubits)

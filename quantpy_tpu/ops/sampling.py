@@ -52,6 +52,9 @@ def _multinomial_binary_split(key, n_trials, probs):
         pair = block_sums[level + 1].reshape(batch_shape + (-1, 2))
         total = pair.sum(-1)
         ratio = jnp.where(total > 0, pair[..., 0] / jnp.where(total > 0, total, 1.0), 0.0)
+        # f32 rounding can push the ratio one ulp past 1 (measured on TPU:
+        # ratio 1.0000001 -> binomial returns NaN); clamp to the valid range
+        ratio = jnp.clip(ratio, 0.0, 1.0)
         left = jax.random.binomial(sub, counts, ratio)
         counts = jnp.stack([left, counts - left], axis=-1).reshape(
             batch_shape + (-1,)

@@ -254,10 +254,16 @@ class ProcessTomograph:
 
     @staticmethod
     def _cptp_tol(tol: float) -> float:
-        """Dykstra tolerance floored at working precision (f32 on TPU)."""
+        """Dykstra tolerance floored at working precision (f32 on TPU).
+
+        The stop criterion is the SQUARED correction increment, so the
+        floor scales as eps^1.5 (measured at 3 qubits on TPU: a 100*eps
+        floor left a 1.8e-2 trace-preservation error; eps^1.5 ~ 4e-11
+        converges to TP error ~1e-4 in a few hundred extra iterations)."""
         from ..config import rdtype
 
-        return max(float(np.finfo(np.dtype(rdtype())).eps) * 100, tol)
+        eps = float(np.finfo(np.dtype(rdtype())).eps)
+        return max(eps**1.5, tol)
 
     def cptp_projection(self, channel: Channel, n_iter: int = 1000, tol=1e-12):
         """Project a channel onto CPTP space (Dykstra; reference

@@ -122,7 +122,7 @@ def cp_project_bloch(choi_bloch):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def cptp_project_bloch(choi_bloch, max_iter: int = 1000, tol: float = 1e-8):
+def cptp_project_bloch(choi_bloch, max_iter: int = 2000, tol: float = 1e-11):
     """Dykstra alternating projections onto CPTP, in bloch space, batched,
     under lax.while_loop.
 
@@ -169,7 +169,7 @@ def cptp_project_bloch(choi_bloch, max_iter: int = 1000, tol: float = 1e-8):
 
 @functools.partial(jax.jit, static_argnames=("cptp", "cptp_iter"))
 def estimate_lifp(
-    counts, a_matrix, cptp: bool = True, cptp_iter: int = 1000, cptp_tol: float = 1e-8
+    counts, a_matrix, cptp: bool = True, cptp_iter: int = 2000, cptp_tol: float = 1e-11
 ):
     """Linear-inversion process estimate (reference process.py:284-289).
 
@@ -327,8 +327,8 @@ def estimate_lifp_factored(
     povm_matrix,
     n_measurements,
     cptp: bool = True,
-    cptp_iter: int = 1000,
-    cptp_tol: float = 1e-8,
+    cptp_iter: int = 2000,
+    cptp_tol: float = 1e-11,
 ):
     """Linear-inversion process estimate WITHOUT materializing the
     (S*K, 16^n) measurement operator.

@@ -12,10 +12,10 @@ from quantpy_tpu.tomography.bootstrap_core import bootstrap_distances
 def test_config1_single_qubit_zero_state():
     """Single-qubit |0> tomography: Pauli POVM, 10k shots, lin + mle."""
     tmg = qt.StateTomograph(qt.zero(1), key=101)
-    tmg.experiment(10_000, "proj")
+    tmg.experiment(4_000, "proj")
     for method in ["lin", "mle", "mle-rhor"]:
         est = tmg.point_estimate(method)
-        assert float(qt.if_dst(est, tmg.state)) < 2e-3, method
+        assert float(qt.if_dst(est, tmg.state)) < 5e-3, method
 
 
 def test_config2_bell_state_warm_start_and_ptrace():
@@ -67,7 +67,7 @@ def test_config5_5qubit_ghz_batched_mle():
     state = qt.GHZ(5)
     tmg = qt.StateTomograph(state, key=105)
     tmg.experiment(2000, "proj-set")
-    est = tmg.point_estimate("mle-rhor", max_iter=80)
+    est = tmg.point_estimate("mle-rhor", max_iter=40)
     assert float(qt.if_dst(est, state)) < 0.05
     d = np.asarray(
         bootstrap_distances(
@@ -75,10 +75,10 @@ def test_config5_5qubit_ghz_batched_mle():
             est.bloch.astype(np.float64),
             tmg.povm_matrix,
             tmg.n_measurements,
-            n_points=8,
+            n_points=4,
             method="mle-rhor",
-            max_iter=60,
+            max_iter=30,
         )
     )
-    assert d.shape == (8,)
+    assert d.shape == (4,)
     assert np.all(np.isfinite(d)) and np.all(d < 0.5)

@@ -281,7 +281,7 @@ def test_bootstrap_process_interval_methods(process_tmg, method):
 
 def test_holder_mhmc(process_tmg):
     iv = qt.HolderInterval(
-        process_tmg, n_points=50, kind="mhmc", burn_steps=50, step=0.02
+        process_tmg, n_points=20, kind="mhmc", burn_steps=20, step=0.02
     )
     dist, cl = iv(np.linspace(0.5, 0.9, 3))
     assert np.all(np.isfinite(np.asarray(dist)))

@@ -77,26 +77,26 @@ def test_kron_6qubit_lin_smoke():
     n = 6
     state = qt.GHZ(n)
     povm1 = _single_qubit_preset("proj-set")
-    counts = kron_core.kron_simulate(jax.random.key(6), povm1, state.bloch, 10_000)
+    counts = kron_core.kron_simulate(jax.random.key(6), povm1, state.bloch, 4_000)
     assert counts.shape == (729, 64)
     bloch = np.asarray(kron_core.kron_estimate_lin(counts, povm1, n))
     est = qt.Qobj(bloch)
     assert abs(est.trace().real - 1) < 1e-6
     d = float(qt.hs_dst(est, state))
     d_mixed = float(qt.hs_dst(qt.fully_mixed(n), state))
-    assert d < 0.2 and d < d_mixed / 3, (d, d_mixed)
+    assert d < 0.3 and d < d_mixed / 2, (d, d_mixed)
 
 
 def test_state_tomograph_kron_mode():
     """StateTomograph transparently switches to kron mode for big designs."""
     tmg = qt.StateTomograph(qt.GHZ(6), key=88)
-    tmg.experiment(10_000, "proj-set")
+    tmg.experiment(4_000, "proj-set")
     assert tmg.povm_matrix is None and tmg.povm_kron is not None
     assert tmg.results.shape == (729, 64)
     est = tmg.point_estimate("lin")
-    assert float(qt.hs_dst(est, tmg.state)) < 0.2
-    est2 = tmg.point_estimate("mle-rhor", max_iter=40)
-    assert float(qt.hs_dst(est2, tmg.state)) < 0.2
+    assert float(qt.hs_dst(est, tmg.state)) < 0.3
+    est2 = tmg.point_estimate("mle-rhor", max_iter=30)
+    assert float(qt.hs_dst(est2, tmg.state)) < 0.3
     with pytest.raises(NotImplementedError):
         tmg.point_estimate("mle-constr")
     with pytest.raises(NotImplementedError):
@@ -111,9 +111,9 @@ def test_kron_bootstrap_interval():
     """BASELINE config 5 at structural scale: GHZ bootstrap CI on the
     kron-factored design."""
     tmg = qt.StateTomograph(qt.GHZ(6), key=90)
-    tmg.experiment(5000, "proj-set")
+    tmg.experiment(2000, "proj-set")
     tmg.point_estimate("lin")
-    iv = qt.BootstrapStateInterval(tmg, n_points=8, method="lin")
+    iv = qt.BootstrapStateInterval(tmg, n_points=4, method="lin")
     d, _ = iv(np.array([0.5, 0.9]))
     d = np.asarray(d)
     assert d.shape == (2,) and np.all(np.isfinite(d)) and d[0] <= d[1]
