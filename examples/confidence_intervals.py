@@ -10,6 +10,11 @@ Run:  python examples/confidence_intervals.py
 
 from __future__ import annotations
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 import quantpy_tpu as qt

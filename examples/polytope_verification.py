@@ -10,6 +10,11 @@ Run:  python examples/polytope_verification.py [--trials 2000]
 
 from __future__ import annotations
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 
 import numpy as np

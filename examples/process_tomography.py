@@ -9,6 +9,11 @@ Run:  python examples/process_tomography.py
 
 from __future__ import annotations
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 import quantpy_tpu as qt

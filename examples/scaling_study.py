@@ -10,6 +10,11 @@ Run:  python examples/scaling_study.py [--max-qubits 7]
 
 from __future__ import annotations
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 import time
 

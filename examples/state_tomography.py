@@ -10,6 +10,11 @@ Run:  python examples/state_tomography.py [--repeats 50] [--qubits 2]
 
 from __future__ import annotations
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 import time
 
