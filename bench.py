@@ -85,6 +85,24 @@ def main():
         f"p95={np.quantile(d, 0.95):.4f} (all finite: {bool(np.isfinite(d).all())})"
     )
 
+    # secondary metrics (stderr only; the driver records the stdout line)
+    try:
+        from quantpy_tpu.measurements import _single_qubit_preset
+        from quantpy_tpu.tomography import kron_core
+
+        povm1 = jnp.asarray(_single_qubit_preset("proj-set"), jnp.float32)
+        b6 = jnp.asarray(qt.GHZ(6).bloch, jnp.float32)
+        c6 = kron_core.kron_simulate(jax.random.key(6), povm1, b6, 10_000.0)
+        r = kron_core.kron_estimate_lin(c6, povm1, 6)
+        r.block_until_ready()
+        t0 = time.time()
+        r = kron_core.kron_estimate_lin(c6, povm1, 6)
+        r.block_until_ready()
+        log(f"secondary: 6-qubit linear inversion {1000 * (time.time() - t0):.1f} ms "
+            "(reference ~45 s)")
+    except Exception as e:  # pragma: no cover - informational only
+        log(f"secondary metric skipped: {e}")
+
     value = N_POINTS / best
     print(
         json.dumps(

@@ -210,3 +210,42 @@ def test_lstsq_solve(rng):
     b = a @ x_true
     x = np.asarray(lstsq_solve(a, b))
     np.testing.assert_allclose(x, x_true, atol=1e-9)
+
+
+def test_cplx_pair_roundtrip(rng):
+    from quantpy_tpu.ops import from_pair, to_pair
+
+    z = rng.normal(size=(3, 4)) + 1j * rng.normal(size=(3, 4))
+    pair = to_pair(z)
+    assert pair.shape == (3, 4, 2)
+    np.testing.assert_allclose(from_pair(pair), z, atol=1e-7)
+
+
+def test_pair_complex_in_jit(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from quantpy_tpu.ops import complex_to_pair, pair_to_complex, to_pair
+
+    z = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+
+    @jax.jit
+    def f(p):
+        w = pair_to_complex(p)
+        return complex_to_pair(w @ w.conj().T)
+
+    out = np.asarray(f(to_pair(z)))
+    expected = z @ z.conj().T
+    np.testing.assert_allclose(out[..., 0] + 1j * out[..., 1], expected, atol=1e-5)
+
+
+def test_kron_all_and_ptm_cap(rng):
+    import pytest as _pytest
+
+    from quantpy_tpu.ops import kron_all, pauli_transfer_matrix
+
+    a = rng.normal(size=(2, 2))
+    b = rng.normal(size=(3, 3))
+    np.testing.assert_allclose(np.asarray(kron_all([a, b])), np.kron(a, b), atol=1e-12)
+    with _pytest.raises(ValueError):
+        pauli_transfer_matrix(9)
