@@ -52,3 +52,23 @@ def test_calibration_channel_moment():
 def test_calibration_unknown_interval():
     with pytest.raises(KeyError):
         get_CL_list_state(qt.GHZ(1), interval="bogus", n_iter=1)
+
+
+import os
+import pickle
+
+REF_PICKLE = "/root/reference/polytopes/results/states_qubits_10k.pkl"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PICKLE), reason="no reference pickle")
+def test_coverage_matches_published_curve():
+    """Reproduce the reference's published GHZ-1 coverage curve
+    (arXiv:2109.04734 fig 1a data, polytopes/results/states_qubits_10k.pkl)
+    within Monte-Carlo tolerance (full 10^4-trial comparison in
+    docs/benchmarks.md reaches <= 0.011 on every curve)."""
+    with open(REF_PICKLE, "rb") as f:
+        ref_data = pickle.load(f)
+    conf = np.asarray(ref_data["cl"])
+    published = np.asarray(ref_data["results"][0])
+    ours = coverage_qst(qt.GHZ(1), conf, n_measurements=10_000, n_trials=1500)
+    assert np.max(np.abs(ours - published)) < 0.035
