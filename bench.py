@@ -72,7 +72,7 @@ def main():
 
     # timed steady-state runs
     times = []
-    for i in range(1, 4):
+    for i in range(1, 6):
         t0 = time.time()
         d = run(jax.random.key(i))
         d.block_until_ready()

@@ -33,13 +33,20 @@ def _coverage(polytope_prod, base_offset, freq_clipped, counts_n_meas, conf_leve
     conf_levels = jnp.asarray(conf_levels, dtype=rdtype())
 
     def per_trial(freq_t):
-        deltas = count_delta(conf_levels, freq_t, counts_n_meas)  # (L,)
-        flat = freq_t.reshape(-1)
-        b = flat[None, :] + deltas[:, None]
-        if clip_b:
-            b = jnp.clip(b, _EPS, 1 - _EPS)
-        b = b - base_offset[None, :]
-        return jnp.min(b - polytope_prod[None, :], axis=-1) > -_EPS
+        # sequential over confidence levels (lax.map) so peak memory stays
+        # at one (S, m, p) KL tensor per trial instead of L of them — this
+        # is what lets 3-qubit QPT coverage (L x 64 x 27 x 8 per trial)
+        # run at 10^4 trials
+        def one_level(cl):
+            delta = count_delta(cl.reshape(1), freq_t, counts_n_meas)[0]
+            flat = freq_t.reshape(-1)
+            b = flat + delta
+            if clip_b:
+                b = jnp.clip(b, _EPS, 1 - _EPS)
+            b = b - base_offset
+            return jnp.min(b - polytope_prod) > -_EPS
+
+        return jax.lax.map(one_level, conf_levels)
 
     return per_trial
 
