@@ -39,22 +39,9 @@ from .tomography.interval import (
 from .tomography.process import ProcessTomograph
 from .tomography.state import StateTomograph
 
+from .routines import join_gates, kron  # noqa: E402
+
 __version__ = "0.1.0"
-
-
-def kron(a, b):
-    """Kronecker product of two quantum objects
-    (reference quantpy/routines.py:34-36)."""
-    return a.kron(b)
-
-
-def join_gates(gates):
-    """Compose a gate sequence into one gate: gates applied left-to-right
-    (reference quantpy/routines.py:39-44)."""
-    out = gates[0]
-    for g in gates[1:]:
-        out = g @ out
-    return out
 
 
 __all__ = [

@@ -32,14 +32,6 @@ __all__ = [
 ]
 
 
-def _single_entry_matrices(dim: int):
-    """Yield (i, j, E_ij) for all single-entry matrices of size dim
-    (reference quantpy/routines.py:22-31 materializes the full list)."""
-    for i in range(dim):
-        for j in range(dim):
-            e = np.zeros((dim, dim), dtype=np.complex128)
-            e[i, j] = 1.0
-            yield i, j, e
 
 
 class Channel(BaseQuantum):
@@ -84,9 +76,11 @@ class Channel(BaseQuantum):
         """Choi matrix (computed lazily from func/kraus via single-entry
         propagation, reference quantpy/channel.py:92-100)."""
         if self._choi is None:
+            from .routines import generate_single_entries
+
             dim = 2**self.n_qubits
             acc = np.zeros((dim * dim, dim * dim), dtype=np.complex128)
-            for _, _, e in _single_entry_matrices(dim):
+            for e in generate_single_entries(dim):
                 acc += np.kron(e, self.transform(Qobj(e)).matrix)
             self._choi = Qobj(acc)
         return self._choi

@@ -23,7 +23,6 @@ from .tomography.interval import (
     MHMCProcessInterval,
     MHMCStateInterval,
     MomentInterval,
-    PolytopeStateInterval,
     SugiyamaInterval,
 )
 from .tomography.process import ProcessTomograph
@@ -32,12 +31,13 @@ from .tomography.state import StateTomograph
 __all__ = ["get_CL_list_state", "get_CL_list_channel", "STATE_INTERVALS",
            "CHANNEL_INTERVALS"]
 
+# Only distance-valued intervals can be calibration-inverted; the polytope
+# and moment-fidelity intervals return fidelity BANDS and are excluded.
 STATE_INTERVALS = {
     "moment": MomentInterval,
     "sugiyama": SugiyamaInterval,
     "bootstrap": BootstrapStateInterval,
     "mhmc": MHMCStateInterval,
-    "polytope": PolytopeStateInterval,
 }
 
 CHANNEL_INTERVALS = {

@@ -19,7 +19,7 @@ from .paulis import (
     unvec,
     vec,
 )
-from .sampling import sample_multinomial, simulate_outcome_counts
+from .sampling import sample_multinomial
 
 __all__ = [
     "PAULI_1",
@@ -40,7 +40,6 @@ __all__ = [
     "real_tril_vec_to_matrix",
     "resolve_distance",
     "sample_multinomial",
-    "simulate_outcome_counts",
     "trace_dst",
     "tril_param_dim",
     "unvec",

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ..config import rdtype
 
-__all__ = ["sample_multinomial", "simulate_outcome_counts"]
+__all__ = ["sample_multinomial"]
 
 
 def _multinomial_binary_split(key, n_trials, probs):
@@ -89,33 +89,3 @@ def sample_multinomial(key, n_trials, probs, shape=None, method: str = "binary")
         return jax.random.multinomial(key, n_trials, probs)
     n_trials = jnp.broadcast_to(n_trials, probs.shape[:-1])
     return _multinomial_binary_split(key, n_trials, probs)
-
-
-def simulate_outcome_counts(key, povm_matrix, bloch, n_measurements):
-    """Simulate a tomography experiment: counts[m, o] ~ Multinomial.
-
-    probabilities p[m, o] = (povm_matrix[m, o] . bloch) * 2^n
-    (reference quantpy/tomography/state.py:109-114).
-
-    Parameters
-    ----------
-    key : jax PRNG key
-    povm_matrix : (n_povms, n_outcomes, 4^n) real array of bloch rows
-    bloch : (..., 4^n) state bloch vector(s); leading batch dims allowed
-    n_measurements : scalar or (n_povms,) shots per POVM
-
-    Returns
-    -------
-    counts : (..., n_povms, n_outcomes)
-    """
-    povm_matrix = jnp.asarray(povm_matrix, dtype=rdtype())
-    bloch = jnp.asarray(bloch, dtype=rdtype())
-    dim2 = povm_matrix.shape[-1]  # 4^n
-    probs = jnp.einsum("mod,...d->...mo", povm_matrix, bloch) * jnp.sqrt(
-        jnp.asarray(dim2, dtype=rdtype())
-    )
-    batch_shape = probs.shape[:-1]
-    n_measurements = jnp.broadcast_to(
-        jnp.asarray(n_measurements, dtype=rdtype()), batch_shape
-    )
-    return sample_multinomial(key, n_measurements, probs)

@@ -72,10 +72,7 @@ def _interp1d(x, y):
     return f
 
 
-def _left_inv_np(a):
-    """(A^T A)^{-1} A^T on host (reference routines.py:69-71)."""
-    a = np.asarray(a, dtype=np.float64)
-    return np.linalg.solve(a.T @ a, a.T)
+from ..routines import _left_inv as _left_inv_np  # noqa: E402
 
 
 class ConfidenceInterval(ABC):
@@ -459,6 +456,11 @@ class BootstrapStateInterval(ConfidenceInterval):
             self.tmg.povm_matrix is None
             and getattr(self.tmg, "povm_kron", None) is not None
         ):
+            if dst_name is None:
+                raise NotImplementedError(
+                    "custom distance callables are not supported on the "
+                    "kron-factored bootstrap path (hs/trace/if only)"
+                )
             from . import kron_core
 
             dist = np.asarray(
@@ -470,7 +472,7 @@ class BootstrapStateInterval(ConfidenceInterval):
                     float(self.tmg.n_measurements[0]),
                     n_points=self.n_points,
                     method=self.method,
-                    dst=dst_name or "hs",
+                    dst=dst_name,
                     max_iter=self.max_iter,
                 ),
                 dtype=np.float64,

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..basis import Basis
+from ..routines import generate_single_entries
 from ..channel import Channel
 from ..measurements import generate_measurement_matrix
 from ..ops.geometry import resolve_distance
@@ -38,12 +39,6 @@ def _generate_input_states(input_states, n_qubits: int):
     return states
 
 
-def _single_entries(dim: int):
-    for i in range(dim):
-        for j in range(dim):
-            e = np.zeros((dim, dim), dtype=np.complex128)
-            e[i, j] = 1.0
-            yield e
 
 
 class ProcessTomograph:
@@ -72,7 +67,7 @@ class ProcessTomograph:
         # (reference process.py:82-87), used by the 'states' method and
         # the Holder interval
         self._decomposed_single_entries = np.stack(
-            [self.input_basis.decompose(Qobj(e)) for e in _single_entries(dim)]
+            [self.input_basis.decompose(Qobj(e)) for e in generate_single_entries(dim)]
         )
         if key is None:
             key = 0

@@ -84,6 +84,11 @@ class StateTomograph:
             povm_block = _single_qubit_preset(povm)
         elif isinstance(povm, np.ndarray) and povm.shape[-1] == 4 and n > 1:
             povm_block = povm if povm.ndim == 3 else povm[None]
+        if warm_start and self.povm_matrix is None and getattr(self, "povm_kron", None) is not None:
+            raise NotImplementedError(
+                "warm_start out of kron-factored mode is not supported; the "
+                "previous design was never materialized"
+            )
         if povm_block is not None:
             m1, p1, _ = povm_block.shape
             dense_elements = (m1 * p1 * 4) ** n
@@ -187,8 +192,12 @@ class StateTomograph:
                     self._results, self.povm_kron, n, physical=physical
                 )
             elif method in ("mle", "mle-rhor"):
+                rhor_tol = max(
+                    float(np.finfo(np.float32).eps) * 10, tol * 1e-3
+                )
                 bloch = kron_core.kron_estimate_mle_rhor(
-                    self._results, self.povm_kron, n, max_iter=max(max_iter, 100)
+                    self._results, self.povm_kron, n, max_iter=max_iter,
+                    tol=rhor_tol,
                 )
             else:
                 raise NotImplementedError(
@@ -253,6 +262,7 @@ class StateTomograph:
                 return kron_core.kron_estimate_mle_rhor(
                     counts, self.povm_kron, n,
                     max_iter=kwargs.get("max_iter", 100),
+                    tol=kwargs.get("tol", 1e-6),
                 )
             raise NotImplementedError(
                 f"method {method!r} is not available on the kron-factored path"

@@ -103,3 +103,25 @@ def test_reference_module_paths_available():
     np.testing.assert_allclose(_left_inv(a), ref_li(a), atol=1e-10)
     entries = quantpy_tpu.routines.generate_single_entries(3)
     assert len(entries) == 9 and entries[4][1, 1] == 1
+
+
+def test_polytope_not_in_calibration_registry():
+    """Fidelity-band intervals cannot be calibration-inverted (they return
+    (min, max) bounds, not distances)."""
+    from quantpy_tpu.metrics import STATE_INTERVALS
+
+    assert "polytope" not in STATE_INTERVALS
+
+
+def test_kron_mode_guards():
+    """kron-mode tomographs reject unsupported operations loudly."""
+    tmg = qt.StateTomograph(qt.GHZ(6), key=91)
+    tmg.experiment(500, "proj-set")
+    with pytest.raises(NotImplementedError):
+        tmg.experiment(500, "proj-set", warm_start=True)
+    # custom distance callables are rejected on the kron bootstrap path
+    tmg2 = qt.StateTomograph(qt.GHZ(6), dst=lambda a, b: 0.0, key=92)
+    tmg2.experiment(500, "proj-set")
+    tmg2.point_estimate("lin")
+    with pytest.raises(NotImplementedError):
+        qt.BootstrapStateInterval(tmg2, n_points=4).setup()
