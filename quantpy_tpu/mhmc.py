@@ -115,6 +115,38 @@ class MHMC:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def adapt_step(
+        self,
+        target_rate: float = 0.25,
+        segment: int = 200,
+        max_rounds: int = 12,
+        bounds: tuple = (0.05, 0.5),
+    ) -> float:
+        """Tune the proposal scale during burn-in toward an acceptance-rate
+        window (TPU-native extension; the reference has no adaptation and
+        its defaults easily land at ~0 or ~100 percent acceptance).
+
+        Runs short chain segments, doubling/halving `step` until the
+        acceptance rate lies in `bounds`. Leaves the chain warm (burned)
+        at the adapted scale and returns the final step.
+        """
+        lo, hi = bounds
+        for _ in range(max_rounds):
+            xs, accepted = _run_chain(
+                self._next_key(), self.x_t, self.target_logpdf,
+                self.update_rule, self.step, segment, 1,
+            )
+            self.x_t = xs[-1]
+            rate = float(accepted) / segment
+            if rate < lo:
+                self.step /= 2.0
+            elif rate > hi:
+                self.step *= 2.0
+            else:
+                break
+        self.burned = True
+        return self.step
+
     def sample(self, n_samples: int, thinning: int = 1, verbose: bool = False):
         """Generate samples (burning in first if needed).
 

@@ -634,16 +634,19 @@ class MHMCStateInterval(ConfidenceInterval):
         verbose: bool = False,
         key=None,
         temper: bool = True,
+        adapt_step: bool = False,
     ):
         """`temper=True` (default) samples exp(-NLL/N) like the reference
         (its _nll is frequency-normalized, state.py:217-229) — a posterior
         flattened by the total shot count, giving very wide intervals.
-        `temper=False` samples the true count-weighted likelihood."""
+        `temper=False` samples the true count-weighted likelihood.
+        `adapt_step=True` tunes the proposal scale during burn-in toward a
+        ~25 percent acceptance rate (see MHMC.adapt_step)."""
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
             thinning=thinning, warm_start=warm_start,
             use_new_estimate=use_new_estimate, state=state, verbose=verbose,
-            key=key, temper=temper,
+            key=key, temper=temper, adapt_step=adapt_step,
         )
 
     def setup(self):
@@ -672,6 +675,8 @@ class MHMCStateInterval(ConfidenceInterval):
                 x_init=x_init,
                 key=self.key,
             )
+            if self.adapt_step:
+                self.chain.adapt_step()
         samples, self.acceptance_rate = self.chain.sample(
             self.n_points, self.thinning, verbose=self.verbose
         )
@@ -714,6 +719,7 @@ class MHMCProcessInterval(ConfidenceInterval):
         verbose: bool = False,
         return_samples: bool = False,
         key=None,
+        adapt_step: bool = False,
     ):
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
@@ -722,6 +728,7 @@ class MHMCProcessInterval(ConfidenceInterval):
             states_physical=states_physical, states_init=states_init,
             use_new_estimate=use_new_estimate, channel=channel,
             verbose=verbose, return_samples=return_samples, key=key,
+            adapt_step=adapt_step,
         )
 
     def setup(self):
@@ -751,6 +758,8 @@ class MHMCProcessInterval(ConfidenceInterval):
                 x_init=x_init,
                 key=self.key,
             )
+            if self.adapt_step:
+                self.chain.adapt_step(segment=100, max_rounds=8)
         samples, self.acceptance_rate = self.chain.sample(
             self.n_points, self.thinning, verbose=self.verbose
         )

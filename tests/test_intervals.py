@@ -302,3 +302,15 @@ def test_mhmc_untempered_is_tighter(state_tmg):
     dt, _ = tight(np.array([0.9]))
     assert float(dt[0]) < float(dw[0])
     assert float(dt[0]) < 0.2
+
+
+def test_mhmc_adaptive_step(process_tmg):
+    """adapt_step brings the process chain out of the 0-percent-acceptance
+    regime the reference's defaults land in."""
+    iv = qt.MHMCProcessInterval(
+        process_tmg, n_points=100, step=1.0, burn_steps=50,
+        use_new_estimate=True, adapt_step=True,
+    )
+    d, _ = iv(np.array([0.9]))
+    assert 0.03 < iv.acceptance_rate < 0.95
+    assert np.isfinite(np.asarray(d)).all()
