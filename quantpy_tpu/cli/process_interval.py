@@ -17,10 +17,11 @@ from ..channel import Channel, depolarizing
 from ..qobj import Qobj
 from ..tomography.interval import MomentFidelityProcessInterval, MomentInterval
 from ..tomography.process import ProcessTomograph
-from .common import build_parser, emit, load_input
+from .common import build_parser, emit, load_input, validate_record
 
 
 def run(input_data: dict, no_ci: bool = False) -> dict:
+    validate_record(input_data, "process")
     results = np.asarray(input_data["outcomes"], dtype=np.float64)
     povm_matrix = np.asarray(input_data["povm_matrix"], dtype=np.float64)
     n_qubits = int(round(math.log2(povm_matrix.shape[-1]) / 2))

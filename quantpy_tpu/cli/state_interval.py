@@ -16,10 +16,11 @@ import numpy as np
 from ..qobj import Qobj, fully_mixed
 from ..tomography.interval import MomentFidelityStateInterval, MomentInterval
 from ..tomography.state import StateTomograph
-from .common import build_parser, emit, load_input
+from .common import build_parser, emit, load_input, validate_record
 
 
 def run(input_data: dict, no_ci: bool = False) -> dict:
+    validate_record(input_data, "state")
     results = np.asarray(input_data["outcomes"], dtype=np.float64)
     povm_matrix = np.asarray(input_data["povm_matrix"], dtype=np.float64)
     n_qubits = int(round(math.log2(povm_matrix.shape[-1]) / 2))

@@ -40,7 +40,22 @@ def set_matmul_precision(precision: str = "highest") -> None:
 
 
 def enable_x64(enable: bool = True) -> None:
-    """Globally enable/disable 64-bit precision (float64/complex128)."""
+    """Globally enable/disable 64-bit precision (float64/complex128).
+
+    x64 is a CPU-side mode (reference-parity testing); TPUs have no f64
+    hardware and the target backend fails on f64 buffers, so enabling it
+    with a TPU default device raises instead of poisoning the process
+    (docs/tpu_constraints.md)."""
+    if enable:
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "unknown"
+        if platform not in ("cpu", "unknown"):
+            raise RuntimeError(
+                "x64 mode is CPU-only; set jax_platforms='cpu' first "
+                f"(default device platform: {platform})"
+            )
     jax.config.update("jax_enable_x64", enable)
 
 

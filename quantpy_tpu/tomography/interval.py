@@ -118,6 +118,11 @@ class MomentInterval(ConfidenceInterval):
 
     def setup(self):
         if self.mode == Mode.STATE:
+            if self.tmg.povm_matrix is None:
+                raise NotImplementedError(
+                    "moment intervals need the dense POVM matrix; the "
+                    "tomograph is in kron-factored mode (use bootstrap)"
+                )
             dim = 2**self.tmg.state.n_qubits
             n_measurements = self.tmg.n_measurements
             freq = self.tmg.results / n_measurements[:, None]
@@ -263,6 +268,11 @@ class SugiyamaInterval(ConfidenceInterval):
         if self.mode == Mode.CHANNEL:
             raise NotImplementedError(
                 "Sugiyama interval works only for state tomography"
+            )
+        if self.tmg.povm_matrix is None:
+            raise NotImplementedError(
+                "Sugiyama intervals need the dense POVM matrix; the "
+                "tomograph is in kron-factored mode (use bootstrap)"
             )
         dim = 2**self.tmg.state.n_qubits
         dist = np.linspace(0, 1, self.n_points)

@@ -89,3 +89,17 @@ def test_cli_as_module(state_fixture, tmp_path):
     )
     assert res.returncode == 0, res.stderr
     assert "state" in json.loads(out_path.read_text())
+
+
+def test_cli_rejects_malformed_records(tmp_path):
+    """Schema validation fails fast with actionable messages."""
+    doc = {"povm_matrix": [[[0.5, 0.5, 0, 0], [0.5, -0.5, 0, 0]]],
+           "outcomes": [[1, 2, 3]]}
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps(doc))
+    with pytest.raises(ValueError, match="outcomes"):
+        state_interval.main(["-i", str(p)])
+    doc = {"povm_matrix": [[0.5, 0.5, 0, 0]], "outcomes": [[1, 2]]}
+    p.write_text(json.dumps(doc))
+    with pytest.raises(ValueError, match="povm_matrix"):
+        state_interval.main(["-i", str(p)])

@@ -125,3 +125,11 @@ def test_kron_mode_guards():
     tmg2.point_estimate("lin")
     with pytest.raises(NotImplementedError):
         qt.BootstrapStateInterval(tmg2, n_points=4).setup()
+
+
+def test_models_package():
+    from quantpy_tpu import models
+
+    assert models.GHZ(2).is_pure()
+    assert models.depolarizing(0.5).is_cptp()
+    assert np.allclose(models.CNOT.matrix @ models.CNOT.matrix, np.eye(4))
