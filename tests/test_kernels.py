@@ -42,7 +42,7 @@ def test_rhor_pallas_matches_xla(flagship_problem, monkeypatch):
     bloch0 = 0.95 * init + 0.05 * mixed
 
     ours = np.asarray(
-        kernels.rhor_mle_pallas(freq, bloch0, w2, n_iter=40, block_b=8)
+        kernels.rhor_mle_pallas(freq, bloch0, w2, n_iter=40, block_b=128)
     )
     # XLA reference: same fixed iteration (tol=0 -> run all iters)
     ref = np.asarray(
