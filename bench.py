@@ -24,7 +24,7 @@ import numpy as np
 
 N_QUBITS = 4
 N_SHOTS = 10_000
-N_POINTS = 2048  # bootstrap resamples per timed call (throughput-optimal, measured)
+N_POINTS = 16384  # bootstrap resamples per timed call (throughput plateaus here, measured)
 # 60 RrhoR iterations reach the f32 convergence floor on this config
 # (max hs distance 3.6e-7 to the 800-iteration fixed point, measured);
 # the bootstrap's statistical scale is ~4e-3, four orders above that.
@@ -72,7 +72,7 @@ def main():
 
     # timed steady-state runs
     times = []
-    for i in range(1, 6):
+    for i in range(1, 4):
         t0 = time.time()
         d = run(jax.random.key(i))
         d.block_until_ready()
