@@ -576,7 +576,6 @@ class BootstrapProcessInterval(ConfidenceInterval):
                 for s in self.tmg.input_basis.elements
             ]
         )
-        a_matrix = self.tmg._measurement_operator()
         n_points = self.n_points
         counts = process_core.simulate_process_experiment(
             key,
@@ -588,9 +587,17 @@ class BootstrapProcessInterval(ConfidenceInterval):
             jnp.asarray(t0.n_measurements, dtype=rdtype()),
         )
         if self.method == "lifp":
-            choi_blochs = process_core.estimate_lifp(counts, a_matrix, cptp=self.cptp)
+            choi_blochs = process_core.estimate_lifp_factored(
+                counts,
+                jnp.asarray(self.tmg._input_blochs_t(), dtype=rdtype()),
+                jnp.asarray(t0.povm_matrix, dtype=rdtype()),
+                jnp.asarray(t0.n_measurements, dtype=rdtype()),
+                cptp=self.cptp,
+            )
         elif self.method == "pgdb":
-            choi_blochs = process_core.estimate_pgdb(counts, a_matrix)
+            choi_blochs = process_core.estimate_pgdb(
+                counts, self.tmg._measurement_operator()
+            )
         elif self.method == "states":
             from . import state_core
             from ..ops.cplx import to_pair
