@@ -595,8 +595,11 @@ class BootstrapProcessInterval(ConfidenceInterval):
                 cptp=self.cptp,
             )
         elif self.method == "pgdb":
-            choi_blochs = process_core.estimate_pgdb(
-                counts, self.tmg._measurement_operator()
+            choi_blochs = process_core.estimate_pgdb_factored(
+                counts,
+                jnp.asarray(self.tmg._input_blochs_t(), dtype=rdtype()),
+                jnp.asarray(t0.povm_matrix, dtype=rdtype()),
+                jnp.asarray(t0.n_measurements, dtype=rdtype()),
             )
         elif self.method == "states":
             from . import state_core

@@ -196,9 +196,18 @@ class ProcessTomograph:
                 Qobj(np.asarray(choi_bloch, dtype=np.float64))
             )
         elif method == "pgdb":
-            a = self._measurement_operator()
-            choi_bloch = process_core.estimate_pgdb(
-                self.results, a, max_iter=n_iter, tol=tol
+            import jax.numpy as jnp
+
+            from ..config import rdtype
+
+            t0 = self.tomographs[0]
+            choi_bloch = process_core.estimate_pgdb_factored(
+                self.results,
+                jnp.asarray(self._input_blochs_t(), dtype=rdtype()),
+                jnp.asarray(t0.povm_matrix, dtype=rdtype()),
+                jnp.asarray(t0.n_measurements, dtype=rdtype()),
+                max_iter=n_iter,
+                tol=tol,
             )
             self.reconstructed_channel = Channel(
                 Qobj(np.asarray(choi_bloch, dtype=np.float64))

@@ -203,8 +203,8 @@ def estimate_pgdb(
     a_matrix,
     max_iter: int = 1000,
     tol: float = 1e-10,
-    cptp_iter: int = 200,
-    cptp_tol: float = 1e-7,
+    cptp_iter: int = 1000,
+    cptp_tol: float = 1e-10,
 ):
     """Projected gradient descent with backtracking on the process NLL
     (reference process.py:291-308, 'pgdb').
@@ -359,3 +359,97 @@ def estimate_lifp_factored(
     if cptp:
         choi_bloch = cptp_project_bloch(choi_bloch, cptp_iter, cptp_tol)
     return choi_bloch
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "cptp_iter"))
+def estimate_pgdb_factored(
+    counts,
+    input_blochs_t,
+    povm_matrix,
+    n_measurements,
+    max_iter: int = 1000,
+    tol: float = 1e-10,
+    # at 3 qubits Dykstra needs ~600+ iterations for a usable projection
+    # (200 left the iterate non-TP with trace 12 instead of 8, measured)
+    cptp_iter: int = 1000,
+    cptp_tol: float = 1e-10,
+):
+    """Projected-gradient process MLE with FACTORED measurement matvecs.
+
+    Same algorithm and fixed point as :func:`estimate_pgdb`, but the
+    operator A = 4^n (B (x) W) is never materialized: with the Choi bloch
+    x viewed as a (D1, D1) matrix X,
+
+        A x   = 4^n vec(B X W^T)        (probabilities)
+        A^T y = 4^n vec(B^T Y W)        (gradient pullback)
+
+    — two small matmuls each, so 3+ qubit channels (dense A ~0.5 GB) run
+    in the same memory envelope as the counts. Batched over leading axes.
+    """
+    counts = jnp.asarray(counts, dtype=rdtype())
+    b = jnp.asarray(input_blochs_t, dtype=rdtype())  # (S, D1)
+    w = state_core.weighted_povm_flat(povm_matrix, n_measurements)  # (K, D1)
+    d1 = b.shape[-1]  # 4^n
+    n = int(round(math.log(d1, 4)))
+    s_count, k_count = b.shape[0], w.shape[0]
+    flat = counts.reshape(counts.shape[:-3] + (-1,))
+    flat = flat / jnp.sum(flat, axis=-1, keepdims=True)
+    batch = flat.shape[:-1]
+
+    def forward(x):  # (..., D2) -> (..., S*K)
+        xm = x.reshape(batch + (d1, d1))
+        p = d1 * jnp.einsum("sa,...ab,kb->...sk", b, xm, w)
+        return p.reshape(batch + (s_count * k_count,))
+
+    def adjoint(y):  # (..., S*K) -> (..., D2)
+        ym = y.reshape(batch + (s_count, k_count))
+        g = d1 * jnp.einsum("sa,...sk,kb->...ab", b, ym, w)
+        return g.reshape(batch + (d1 * d1,))
+
+    x0 = jnp.zeros(batch + (d1 * d1,), dtype=rdtype()).at[..., 0].set(1.0 / d1)
+    mu = 1.5 / d1
+    gamma = 0.3
+
+    def nll(x):
+        p = forward(x)
+        return -jnp.sum(flat * jnp.log(p + _CP_EPS), axis=-1)
+
+    def backtrack(x, d_dir, grad):
+        slope = jnp.sum(d_dir * grad, axis=-1)
+        f0 = nll(x)
+
+        def cond(carry):
+            alpha, it = carry
+            return jnp.logical_and(
+                jnp.any(
+                    nll(x + alpha[..., None] * d_dir) - f0 > gamma * alpha * slope
+                ),
+                it < 30,
+            )
+
+        def step(carry):
+            alpha, it = carry
+            return alpha / 2, it + 1
+
+        alpha0 = jnp.ones(f0.shape, dtype=rdtype())
+        alpha, _ = jax.lax.while_loop(cond, step, (alpha0, jnp.asarray(0)))
+        return alpha
+
+    def cond(carry):
+        _, it, delta = carry
+        return jnp.logical_and(it < max_iter, delta > tol)
+
+    def step(carry):
+        x, it, _ = carry
+        p = forward(x)
+        grad = -adjoint(flat / jnp.clip(p, _CP_EPS, None))
+        d_dir = cptp_project_bloch(x - grad / mu, cptp_iter, cptp_tol) - x
+        alpha = backtrack(x, d_dir, grad)
+        x_new = x + alpha[..., None] * d_dir
+        delta = jnp.max(nll(x) - nll(x_new))
+        return x_new, it + 1, delta
+
+    x, _, _ = jax.lax.while_loop(
+        cond, step, (x0, jnp.asarray(0), jnp.asarray(jnp.inf, rdtype()))
+    )
+    return x

@@ -179,3 +179,39 @@ def test_three_qubit_process_tomography():
     est = tmg.point_estimate("lifp", cptp=True)
     assert float(qt.hs_dst(est.choi, w.choi)) < 0.2
     assert est.is_cptp(atol=1e-3)
+
+
+def test_pgdb_factored_matches_dense():
+    import jax.numpy as jnp
+
+    true = dephasing(0.35)
+    tmg = ProcessTomograph(true, key=11)
+    tmg.experiment(4000, "proj-set")
+    a = tmg._measurement_operator()
+    dense = np.asarray(
+        process_core.estimate_pgdb(tmg.results, a, max_iter=100, tol=1e-12)
+    )
+    t0 = tmg.tomographs[0]
+    fact = np.asarray(
+        process_core.estimate_pgdb_factored(
+            tmg.results,
+            jnp.asarray(tmg._input_blochs_t()),
+            jnp.asarray(t0.povm_matrix),
+            jnp.asarray(t0.n_measurements),
+            max_iter=100,
+            tol=1e-12,
+        )
+    )
+    np.testing.assert_allclose(fact, dense, atol=1e-8)
+
+
+def test_three_qubit_pgdb():
+    """3-qubit projected-gradient MLE — impossible with the dense operator."""
+    from quantpy_tpu.channel import depolarizing as depol
+
+    true = depol(0.2, n_qubits=3)
+    tmg = ProcessTomograph(true, input_states="sic", key=12)
+    tmg.experiment(2000, "proj-set")
+    est = tmg.point_estimate("pgdb", n_iter=60)
+    assert float(qt.hs_dst(est.choi, true.choi)) < 0.15
+    assert est.is_cptp(atol=1e-3)
