@@ -314,3 +314,15 @@ def test_mhmc_adaptive_step(process_tmg):
     d, _ = iv(np.array([0.9]))
     assert 0.03 < iv.acceptance_rate < 0.95
     assert np.isfinite(np.asarray(d)).all()
+
+
+def test_mhmc_warm_start_reuses_chain(state_tmg):
+    iv = qt.MHMCStateInterval(
+        state_tmg, n_points=100, burn_steps=100, use_new_estimate=True,
+        warm_start=True,
+    )
+    iv(np.array([0.9]))
+    chain1 = iv.chain
+    del iv.cl_to_dist
+    iv(np.array([0.9]))
+    assert iv.chain is chain1  # same chain continued, no re-burn

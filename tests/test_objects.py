@@ -235,3 +235,36 @@ def test_povm_array_passthrough(rng):
     out = qt.generate_measurement_matrix(perq, 2)
     assert out.shape == (1, 4, 16)
     np.testing.assert_allclose(out[0], np.kron(perq[None], perq[None])[0])
+
+
+def test_qobj_setter_invalidation():
+    q = qt.Qobj(np.array([0.5, 0.5, 0, 0]))
+    m1 = q.matrix.copy()
+    q.bloch = np.array([0.5, 0, 0, 0.5])  # must invalidate cached matrix
+    np.testing.assert_allclose(q.matrix, [[1, 0], [0, 0]], atol=1e-12)
+    assert not np.allclose(q.matrix, m1)
+    q.matrix = np.eye(2) / 2  # must invalidate cached bloch
+    np.testing.assert_allclose(q.bloch, [0.5, 0, 0, 0], atol=1e-12)
+
+
+def test_channel_setters():
+    ch = depolarizing(0.5)
+    choi0 = ch.choi.matrix.copy()
+    # kraus setter resets choi
+    ch.kraus = [np.eye(2)]
+    np.testing.assert_allclose(
+        ch.choi.matrix,
+        np.kron(np.eye(2), np.eye(2)).reshape(4, 4) * 0
+        + qt.Channel([np.eye(2)]).choi.matrix,
+        atol=1e-12,
+    )
+    assert not np.allclose(ch.choi.matrix, choi0)
+    # set_func resets both
+    ch.set_func(lambda rho: rho, 1)
+    np.testing.assert_allclose(
+        ch.choi.matrix, qt.Channel([np.eye(2)]).choi.matrix, atol=1e-12
+    )
+    # choi setter
+    ch2 = depolarizing(0.3)
+    ch.choi = ch2.choi
+    np.testing.assert_allclose(ch.choi.matrix, ch2.choi.matrix)
