@@ -45,8 +45,16 @@ def main():
     from quantpy_tpu.tomography.state import StateTomograph
 
     log(f"devices: {jax.devices()}")
+    # absorb one-time backend init; the tunnel occasionally throws transient
+    # FAILED_PRECONDITION right after other processes crash — retry briefly
     t0 = time.time()
-    np.asarray(jnp.ones(8) * 2)  # absorb one-time backend init
+    for attempt in range(3):
+        try:
+            np.asarray(jnp.ones(8) * 2)
+            break
+        except Exception as e:  # pragma: no cover - environment flake
+            log(f"backend init attempt {attempt + 1} failed: {e!r}; retrying")
+            time.sleep(20)
     log(f"backend init: {time.time() - t0:.1f}s")
 
     state = qt.GHZ(N_QUBITS)
