@@ -63,7 +63,7 @@ def tril_samples_distance(name: str, tril_vecs, bloch_ref, n_qubits: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_points", "method", "dst", "max_iter"),
+    static_argnames=("n_points", "method", "dst", "max_iter", "physical", "init", "tol"),
 )
 def bootstrap_distances(
     key,
@@ -74,12 +74,17 @@ def bootstrap_distances(
     method: str = "lin",
     dst: str = "hs",
     max_iter: int = 100,
+    physical: bool = True,
+    init: str = "lin",
+    tol: float = 1e-3,
 ):
     """Simulate + re-estimate `n_points` experiments from `bloch_est` and
     return UNSORTED distances to it (sort host-side or via jnp.sort).
 
     All-real signature: bloch_est (D,), povm_matrix (m, p, D),
-    n_measurements (m,). Returns (n_points,) distances.
+    n_measurements (m,). Returns (n_points,) distances. `physical`, `init`
+    and `tol` are forwarded to the per-resample estimator exactly as the
+    reference forwards them (reference interval.py:600-609).
     """
     povm_matrix = jnp.asarray(povm_matrix, dtype=rdtype())
     bloch_est = jnp.asarray(bloch_est, dtype=rdtype())
@@ -89,12 +94,16 @@ def bootstrap_distances(
     blochs = jnp.broadcast_to(bloch_est, (n_points,) + bloch_est.shape)
     counts = state_core.simulate_experiment(key, povm_matrix, blochs, n_measurements)
     est = state_core.estimate(
-        counts, povm_matrix, n_measurements, method=method, max_iter=max_iter
+        counts, povm_matrix, n_measurements, method=method, max_iter=max_iter,
+        physical=physical, init=init, tol=tol,
     )
     return _distance_batch(dst, est, bloch_est, n_qubits)
 
 
-@functools.partial(jax.jit, static_argnames=("n_points", "method", "max_iter"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_points", "method", "max_iter", "physical", "init", "tol"),
+)
 def bootstrap_blochs(
     key,
     bloch_est,
@@ -103,6 +112,9 @@ def bootstrap_blochs(
     n_points: int,
     method: str = "lin",
     max_iter: int = 100,
+    physical: bool = True,
+    init: str = "lin",
+    tol: float = 1e-3,
 ):
     """Like :func:`bootstrap_distances` but returns the re-estimated bloch
     vectors (n_points, D) — used by process bootstrap and calibration."""
@@ -111,5 +123,6 @@ def bootstrap_blochs(
     blochs = jnp.broadcast_to(bloch_est, (n_points,) + bloch_est.shape)
     counts = state_core.simulate_experiment(key, povm_matrix, blochs, n_measurements)
     return state_core.estimate(
-        counts, povm_matrix, n_measurements, method=method, max_iter=max_iter
+        counts, povm_matrix, n_measurements, method=method, max_iter=max_iter,
+        physical=physical, init=init, tol=tol,
     )

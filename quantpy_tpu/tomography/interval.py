@@ -484,6 +484,8 @@ class BootstrapStateInterval(ConfidenceInterval):
                     method=self.method,
                     dst=dst_name,
                     max_iter=self.max_iter,
+                    physical=self.physical,
+                    init=self.init,
                 ),
                 dtype=np.float64,
             )
@@ -498,6 +500,9 @@ class BootstrapStateInterval(ConfidenceInterval):
                     method=self.method,
                     dst=dst_name,
                     max_iter=self.max_iter,
+                    physical=self.physical,
+                    init=self.init,
+                    tol=self.tol,
                 ),
                 dtype=np.float64,
             )
@@ -511,6 +516,9 @@ class BootstrapStateInterval(ConfidenceInterval):
                     n_points=self.n_points,
                     method=self.method,
                     max_iter=self.max_iter,
+                    physical=self.physical,
+                    init=self.init,
+                    tol=self.tol,
                 ),
                 dtype=np.float64,
             )
@@ -621,13 +629,21 @@ class BootstrapProcessInterval(ConfidenceInterval):
             raise ValueError("Incorrect value for argument `method`")
         ref_bloch = jnp.asarray(self.channel.choi.bloch, dtype=rdtype())
         n2 = 2 * self.tmg.channel.n_qubits
-        dst_name = {hs_dst: "hs", trace_dst: "trace", if_dst: "if"}.get(
-            self.tmg.dst, "hs"
-        )
-        dist = np.asarray(
-            bootstrap_core._distance_batch(dst_name, choi_blochs, ref_bloch, n2),
-            dtype=np.float64,
-        )
+        dst_name = {hs_dst: "hs", trace_dst: "trace", if_dst: "if"}.get(self.tmg.dst)
+        if dst_name is not None:
+            dist = np.asarray(
+                bootstrap_core._distance_batch(dst_name, choi_blochs, ref_bloch, n2),
+                dtype=np.float64,
+            )
+        else:  # custom host distance callable: decode Choi samples host-side
+            from ..qobj import Qobj
+
+            mats = np_bloch_to_matrix(
+                np.asarray(choi_blochs, dtype=np.float64), n2
+            )
+            dist = np.asarray(
+                [self.tmg.dst(Qobj(m), self.channel.choi) for m in mats]
+            )
         dist = np.sort(dist)
         self.cl_to_dist = _interp1d(np.linspace(0, 1, len(dist)), dist)
 
@@ -700,11 +716,9 @@ class MHMCStateInterval(ConfidenceInterval):
         samples, self.acceptance_rate = self.chain.sample(
             self.n_points, self.thinning, verbose=self.verbose
         )
-        dst_name = {hs_dst: "hs", trace_dst: "trace", if_dst: "if"}.get(
-            self.tmg.dst, "hs"
-        )
-        dist = np.sort(
-            np.asarray(
+        dst_name = {hs_dst: "hs", trace_dst: "trace", if_dst: "if"}.get(self.tmg.dst)
+        if dst_name is not None:
+            dist = np.asarray(
                 bootstrap_core.tril_samples_distance(
                     dst_name,
                     samples,
@@ -712,7 +726,15 @@ class MHMCStateInterval(ConfidenceInterval):
                     self.tmg.state.n_qubits,
                 )
             )
-        )
+        else:  # custom host distance callable: decode samples host-side
+            from ..ops.cholesky import np_real_tril_vec_to_matrix
+            from ..qobj import Qobj
+
+            rho = np_real_tril_vec_to_matrix(np.asarray(samples, dtype=np.float64))
+            tr = np.trace(rho, axis1=-2, axis2=-1).real
+            rho = rho / tr[..., None, None]
+            dist = np.asarray([self.tmg.dst(Qobj(r), self.state) for r in rho])
+        dist = np.sort(dist)
         self.cl_to_dist = _interp1d(np.linspace(0, 1, len(dist)), dist)
 
 

@@ -206,7 +206,10 @@ def kron_estimate_mle_rhor(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_qubits", "n_points", "method", "dst", "max_iter")
+    jax.jit,
+    static_argnames=(
+        "n_qubits", "n_points", "method", "dst", "max_iter", "physical", "init"
+    ),
 )
 def kron_bootstrap_distances(
     key,
@@ -218,19 +221,32 @@ def kron_bootstrap_distances(
     method: str = "lin",
     dst: str = "hs",
     max_iter: int = 100,
+    physical: bool = True,
+    init: str = "lin",
 ):
     """Parametric bootstrap on the kron-factored design: simulate + estimate
     + distance for `n_points` resamples in one program (the factored twin of
-    bootstrap_core.bootstrap_distances)."""
+    bootstrap_core.bootstrap_distances). `physical` applies to the 'lin'
+    re-estimates; `init` ('lin'|'mixed') selects the MLE starting point."""
     from .bootstrap_core import _distance_batch
 
     bloch_est = jnp.asarray(bloch_est, dtype=rdtype())
     blochs = jnp.broadcast_to(bloch_est, (n_points,) + bloch_est.shape)
     counts = kron_simulate(key, povm1, blochs, n_shots)
     if method == "lin":
-        est = kron_estimate_lin(counts, povm1, n_qubits)
+        est = kron_estimate_lin(counts, povm1, n_qubits, physical=physical)
     elif method in ("mle", "mle-rhor"):
-        est = kron_estimate_mle_rhor(counts, povm1, n_qubits, max_iter=max_iter)
+        if init == "mixed":
+            init_bloch = jnp.zeros(
+                (n_points, 4**n_qubits), dtype=rdtype()
+            ).at[..., 0].set(1.0 / 2**n_qubits)
+        elif init == "lin":
+            init_bloch = None
+        else:
+            raise ValueError("Invalid value for argument `init`")
+        est = kron_estimate_mle_rhor(
+            counts, povm1, n_qubits, init_bloch=init_bloch, max_iter=max_iter
+        )
     else:
         raise ValueError(f"method {method!r} unsupported on the kron path")
     return _distance_batch(dst, est, bloch_est, n_qubits)

@@ -27,12 +27,22 @@ class ChunkedAccumulator:
         self.path = path
         self._chunks: list[np.ndarray] = []
         self.n_done = 0
+        #: number of chunks drawn so far — persisted so a resumed run never
+        #: reuses a PRNG fold even when the last chunk was partial
+        self.n_chunks = 0
         if os.path.exists(path):
             with np.load(path) as data:
                 samples = data["samples"]
+                n_chunks = int(data["n_chunks"]) if "n_chunks" in data else None
             if samples.size:
                 self._chunks = [samples]
                 self.n_done = samples.shape[0]
+                # legacy files (no n_chunks key): fall back to the sample
+                # count, which over-counts chunks but can never REUSE a
+                # fold (duplicated streams are the failure that matters)
+                self.n_chunks = (
+                    n_chunks if n_chunks is not None else self.n_done
+                )
 
     @property
     def samples(self) -> np.ndarray:
@@ -44,6 +54,7 @@ class ChunkedAccumulator:
         chunk = np.asarray(chunk)
         self._chunks = [self.samples, chunk] if self._chunks else [chunk]
         self.n_done += chunk.shape[0]
+        self.n_chunks += 1
         self._flush()
 
     def _flush(self) -> None:
@@ -53,7 +64,7 @@ class ChunkedAccumulator:
         fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
         os.close(fd)
         try:
-            np.savez(tmp, samples=self.samples)
+            np.savez(tmp, samples=self.samples, n_chunks=self.n_chunks)
             os.replace(tmp, self.path)
         finally:
             if os.path.exists(tmp):
@@ -72,9 +83,10 @@ def resumable_bootstrap(
     """Run (or resume) a bootstrap of `n_points` distances in chunks,
     checkpointing after each chunk. Returns the sorted distances.
 
-    Each chunk is one jitted device call (bootstrap_core); the chunk index
-    seeds the fold of the PRNG key so a resumed run produces exactly the
-    same stream as an uninterrupted one.
+    The PERSISTED chunk counter seeds the fold of the PRNG key, so a
+    resumed run produces exactly the same stream as an uninterrupted one —
+    including after a partial final chunk (a size-derived fold index would
+    repeat and duplicate that chunk's random stream).
     """
     import jax
 
@@ -85,7 +97,7 @@ def resumable_bootstrap(
     state = getattr(tmg, "reconstructed_state", None) or tmg.point_estimate()
     dst_name = {hs_dst: "hs", trace_dst: "trace", if_dst: "if"}.get(tmg.dst, "hs")
     while acc.n_done < n_points:
-        chunk_idx = acc.n_done // chunk_size
+        chunk_idx = acc.n_chunks
         n = min(chunk_size, n_points - acc.n_done)
         d = np.asarray(
             bootstrap_core.bootstrap_distances(

@@ -316,6 +316,90 @@ def test_mhmc_adaptive_step(process_tmg):
     assert np.isfinite(np.asarray(d)).all()
 
 
+def test_bootstrap_forwards_physical(state_tmg):
+    """physical=False must reach the per-resample estimator: raw linear
+    inversion of a near-pure state is non-PSD almost surely (the round-1
+    code silently dropped the flag and always projected)."""
+    import jax
+
+    from quantpy_tpu.ops.paulis import np_bloch_to_matrix
+    from quantpy_tpu.tomography import bootstrap_core
+
+    blochs = np.asarray(
+        bootstrap_core.bootstrap_blochs(
+            jax.random.key(5),
+            np.asarray(state_tmg.reconstructed_state.bloch, dtype=np.float64),
+            state_tmg.povm_matrix,
+            state_tmg.n_measurements,
+            n_points=32,
+            method="lin",
+            physical=False,
+        )
+    )
+    mats = np_bloch_to_matrix(blochs, state_tmg.state.n_qubits)
+    min_eig = np.linalg.eigvalsh(mats).min()
+    assert min_eig < -1e-6  # non-PSD estimates survive
+
+    # and the interval itself now differs between physical=True/False
+    d_phys, _ = qt.BootstrapStateInterval(
+        state_tmg, n_points=64, physical=True, key=jax.random.key(7)
+    )(np.array([0.5, 0.9]))
+    d_raw, _ = qt.BootstrapStateInterval(
+        state_tmg, n_points=64, physical=False, key=jax.random.key(7)
+    )(np.array([0.5, 0.9]))
+    assert not np.allclose(d_phys, d_raw)
+
+
+def test_mhmc_state_custom_distance(state_tmg):
+    """A custom distance callable must actually be applied (round-1 code
+    silently fell back to Hilbert-Schmidt)."""
+    import jax
+
+    def doubled_hs(a, b):
+        return 2.0 * float(qt.hs_dst(a, b))
+
+    tmg2 = qt.StateTomograph(state_tmg.state, dst=doubled_hs, key=77)
+    tmg2.povm_matrix = state_tmg.povm_matrix
+    tmg2.n_measurements = state_tmg.n_measurements
+    tmg2._results = state_tmg.results
+    tmg2.point_estimate("mle")
+    iv_custom = qt.MHMCStateInterval(
+        tmg2, n_points=50, burn_steps=50, key=jax.random.key(3)
+    )
+    d_custom, _ = iv_custom(np.array([0.5, 0.9]))
+    tmg3 = qt.StateTomograph(state_tmg.state, dst="hs", key=77)
+    tmg3.povm_matrix = state_tmg.povm_matrix
+    tmg3.n_measurements = state_tmg.n_measurements
+    tmg3._results = state_tmg.results
+    tmg3.point_estimate("mle")
+    iv_hs = qt.MHMCStateInterval(
+        tmg3, n_points=50, burn_steps=50, key=jax.random.key(3)
+    )
+    d_hs, _ = iv_hs(np.array([0.5, 0.9]))
+    np.testing.assert_allclose(np.asarray(d_custom), 2 * np.asarray(d_hs), rtol=1e-6)
+
+
+def test_bootstrap_process_custom_distance(process_tmg):
+    import jax
+
+    def doubled_hs(a, b):
+        return 2.0 * float(qt.hs_dst(a, b))
+
+    iv_hs = qt.BootstrapProcessInterval(
+        process_tmg, n_points=16, key=jax.random.key(11)
+    )
+    d_hs, _ = iv_hs(np.array([0.5, 0.9]))
+    process_tmg_custom = qt.ProcessTomograph(process_tmg.channel, key=22)
+    process_tmg_custom.dst = doubled_hs
+    process_tmg_custom.tomographs = process_tmg.tomographs
+    process_tmg_custom.reconstructed_channel = process_tmg.reconstructed_channel
+    iv_custom = qt.BootstrapProcessInterval(
+        process_tmg_custom, n_points=16, key=jax.random.key(11)
+    )
+    d_custom, _ = iv_custom(np.array([0.5, 0.9]))
+    np.testing.assert_allclose(np.asarray(d_custom), 2 * np.asarray(d_hs), rtol=1e-6)
+
+
 def test_mhmc_warm_start_reuses_chain(state_tmg):
     iv = qt.MHMCStateInterval(
         state_tmg, n_points=100, burn_steps=100, use_new_estimate=True,

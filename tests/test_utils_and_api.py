@@ -52,6 +52,23 @@ def test_resumable_bootstrap_matches_uninterrupted(tmp_path):
     del partial
 
 
+def test_resumable_bootstrap_partial_chunk_no_duplicates(tmp_path):
+    """A run interrupted mid-chunk must not replay a PRNG fold on resume
+    (the round-1 size-derived fold index duplicated the partial chunk's
+    random stream when the run was extended)."""
+    tmg = qt.StateTomograph(qt.GHZ(1), key=9)
+    tmg.experiment(1000, "proj-set")
+    tmg.point_estimate("lin")
+    path = str(tmp_path / "c.npz")
+    # 10 points with chunk_size 8 -> chunks of 8 and 2 (partial final chunk)
+    resumable_bootstrap(path, tmg, n_points=10, chunk_size=8, seed=3)
+    assert ChunkedAccumulator(path).n_chunks == 2
+    # extend to 18: must draw FRESH folds (2, 3), not refold chunk index 1
+    resumed = resumable_bootstrap(path, tmg, n_points=18, chunk_size=8, seed=3)
+    assert len(np.unique(np.round(resumed, 12))) == 18
+    assert ChunkedAccumulator(path).n_chunks == 3
+
+
 @needs_ref
 def test_public_api_parity_with_reference():
     """Every public name the reference exports has an equivalent here
