@@ -127,11 +127,13 @@ class Channel(BaseQuantum):
             return Qobj(out)
         if self._func is not None:
             return self._func(state)
-        # Choi contraction: Phi(rho) = Tr_in[(rho^T (x) I) choi]
-        dim = 2**self.n_qubits
-        big = np.kron(state.matrix.T, np.eye(dim)) @ self.choi.matrix
-        out = Qobj(big).ptrace(tuple(range(self.n_qubits, 2 * self.n_qubits)))
-        return out
+        # Choi action in bloch space: bloch_out = 2^n (signs * bloch_in) @ C
+        # with C the (4^n, 4^n)-reshaped Choi bloch — O(16^n) work instead
+        # of the reference's O(16^n)-ENTRY kron contraction
+        # (quantpy/channel.py:131-142), which is unusable above 3 qubits.
+        from .tomography.process_core import np_choi_apply_bloch
+
+        return Qobj(np_choi_apply_bloch(self.choi.bloch, state.bloch))
 
     def is_cptp(self, atol: float = 1e-5, verbose: bool = True) -> bool:
         """Complete positivity (Choi PSD) + trace preservation

@@ -38,6 +38,7 @@ __all__ = [
     "bloch_to_matrix",
     "matrix_to_bloch",
     "pauli_transfer_matrix",
+    "pauli_transpose_signs",
     "vec",
     "unvec",
     "n_qubits_from_dim",
@@ -87,6 +88,21 @@ def generate_pauli(n_qubits: int) -> jnp.ndarray:
     2-D arrays; here: one stacked 3-D array).
     """
     return jnp.asarray(_pauli_basis_np(n_qubits), dtype=cdtype())
+
+
+@functools.lru_cache(maxsize=None)
+def pauli_transpose_signs(n_qubits: int) -> np.ndarray:
+    """(4^n,) signs s with P_a^T = s_a P_a: -1 iff the multi-index contains
+    an odd number of Y factors (sigma_y is the only antisymmetric Pauli).
+
+    Lets transposition act directly on bloch vectors: bloch(rho^T) =
+    signs * bloch(rho) — used by the bloch-space channel application."""
+    idx = np.arange(4**n_qubits)
+    y_count = np.zeros(4**n_qubits, dtype=np.int64)
+    for _ in range(n_qubits):
+        y_count += (idx % 4) == 2
+        idx //= 4
+    return np.where(y_count % 2 == 1, -1.0, 1.0)
 
 
 # Maximum qubit count for which the dense (4^n, 4^n) transfer matrix is

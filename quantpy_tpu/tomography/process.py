@@ -201,14 +201,40 @@ class ProcessTomograph:
             from ..config import rdtype
 
             t0 = self.tomographs[0]
-            choi_bloch = process_core.estimate_pgdb_factored(
-                self.results,
-                jnp.asarray(self._input_blochs_t(), dtype=rdtype()),
-                jnp.asarray(t0.povm_matrix, dtype=rdtype()),
-                jnp.asarray(t0.n_measurements, dtype=rdtype()),
-                max_iter=n_iter,
-                tol=tol,
-            )
+            if self.channel.n_qubits >= 4:
+                # 4+ qubits: host-driven outer loop (one jitted step per
+                # device call) — the axon TPU runtime kills single
+                # executions after ~60 s and the fused descent loop
+                # exceeds that there (docs/tpu_constraints.md) — and a
+                # lifp warm start (documented divergence from the
+                # reference's fully-depolarized start, process.py:292):
+                # measured ~10 steps to the f32 NLL floor vs >40 without
+                init = process_core.estimate_lifp_factored(
+                    self.results,
+                    jnp.asarray(self._input_blochs_t(), dtype=rdtype()),
+                    jnp.asarray(t0.povm_matrix, dtype=rdtype()),
+                    jnp.asarray(t0.n_measurements, dtype=rdtype()),
+                    cptp=True,
+                    cptp_tol=self._cptp_tol(tol),
+                )
+                choi_bloch = process_core.estimate_pgdb_factored_host(
+                    self.results,
+                    jnp.asarray(self._input_blochs_t(), dtype=rdtype()),
+                    jnp.asarray(t0.povm_matrix, dtype=rdtype()),
+                    jnp.asarray(t0.n_measurements, dtype=rdtype()),
+                    max_iter=n_iter,
+                    tol=tol,
+                    init_bloch=init,
+                )
+            else:
+                choi_bloch = process_core.estimate_pgdb_factored(
+                    self.results,
+                    jnp.asarray(self._input_blochs_t(), dtype=rdtype()),
+                    jnp.asarray(t0.povm_matrix, dtype=rdtype()),
+                    jnp.asarray(t0.n_measurements, dtype=rdtype()),
+                    max_iter=n_iter,
+                    tol=tol,
+                )
             self.reconstructed_channel = Channel(
                 Qobj(np.asarray(choi_bloch, dtype=np.float64))
             )
@@ -308,13 +334,21 @@ class ProcessTomograph:
 
     def _nll(self, choi_bloch):
         """Process NLL of a Choi bloch vector under the current data
-        (reference process.py:310-314); used by MHMC intervals."""
+        (reference process.py:310-314); used by MHMC intervals.
+
+        Uses the factored matvec — the dense (S*K, 16^n) operator the
+        reference rebuilds per evaluation (process.py:197-211) is never
+        formed, so MHMC process sampling scales past 2 qubits."""
         import jax.numpy as jnp
 
         from ..config import rdtype
 
-        a = self._measurement_operator()
+        t0 = self.tomographs[0]
+        w = state_core.weighted_povm_flat(t0.povm_matrix, t0.n_measurements)
         flat = np.concatenate([t.flat_results for t in self.tomographs])
-        return process_core.process_nll(
-            jnp.asarray(choi_bloch, dtype=rdtype()), a, jnp.asarray(flat, rdtype())
+        return process_core.process_nll_factored(
+            jnp.asarray(choi_bloch, dtype=rdtype()),
+            jnp.asarray(self._input_blochs_t(), dtype=rdtype()),
+            w,
+            jnp.asarray(flat, rdtype()),
         )

@@ -215,3 +215,70 @@ def test_three_qubit_pgdb():
     est = tmg.point_estimate("pgdb", n_iter=60)
     assert float(qt.hs_dst(est.choi, true.choi)) < 0.15
     assert est.is_cptp(atol=1e-3)
+
+
+# ------------------------------------------------- QPT scaling (round 2)
+
+
+def test_choi_transform_bloch_path_matches_kraus():
+    """The bloch-space Choi action (Channel.transform for Choi-represented
+    channels) equals the Kraus action."""
+    for n, p in [(1, 0.3), (2, 0.45), (3, 0.2)]:
+        true = depolarizing(p, n)
+        choi_channel = qt.Channel(true.choi)  # drops func/kraus: Choi-only
+        rng = np.random.default_rng(n)
+        v = rng.normal(size=2**n) + 1j * rng.normal(size=2**n)
+        rho = qt.Qobj(np.outer(v, v.conj()) / np.vdot(v, v))
+        out_bloch = choi_channel.transform(rho)
+        out_kraus = qt.Channel(choi_channel.kraus).transform(rho)
+        np.testing.assert_allclose(
+            out_bloch.matrix, out_kraus.matrix, atol=1e-10
+        )
+
+
+def test_process_nll_factored_matches_dense():
+    tmg = ProcessTomograph(depolarizing(0.35, 2), key=8)
+    tmg.experiment(2000, "proj-set")
+    est = tmg.point_estimate("lifp")
+    x = np.asarray(est.choi.bloch, dtype=np.float64)
+    dense_a = tmg._measurement_operator()
+    flat = np.concatenate([t.flat_results for t in tmg.tomographs])
+    dense = float(process_core.process_nll(x, dense_a, flat))
+    factored = float(tmg._nll(x))
+    np.testing.assert_allclose(factored, dense, rtol=1e-10)
+
+
+@pytest.mark.slow
+def test_qpt_4_qubits_end_to_end():
+    """4-qubit process tomography: lifp reconstruction + a small factored
+    bootstrap run end to end (round-1 wall: everything above 3 qubits
+    OOM'd on the dense (S*K, 16^n) operator)."""
+    true = depolarizing(0.2, 4)
+    tmg = ProcessTomograph(true, key=44)
+    tmg.experiment(2000, "proj-set")
+    est = tmg.point_estimate("lifp", cptp=True)
+    d = choi_dist(est, true)
+    # ~5 percent relative error on the ||C||_F ~ 16 Choi at these shot
+    # counts; must clearly beat the distance to the wrong (identity)
+    # channel, which differs from the truth by the 0.2 depolarization
+    assert d < 0.7
+    assert d < 0.3 * choi_dist(est, depolarizing(0.0, 4))
+    assert est.is_cptp(atol=1e-2)
+    iv = qt.BootstrapProcessInterval(tmg, n_points=4, cptp=False)
+    dist, _ = iv(np.array([0.5, 0.9]))
+    assert np.all(np.isfinite(np.asarray(dist)))
+
+
+@pytest.mark.slow
+def test_mhmc_process_interval_3q():
+    """MHMC process sampling at 3 qubits — impossible with the dense NLL
+    operator the reference (and round 1) materialized per evaluation."""
+    tmg = ProcessTomograph(depolarizing(0.3, 3), key=33)
+    tmg.experiment(1000, "proj-set")
+    tmg.point_estimate("lifp")
+    iv = qt.MHMCProcessInterval(
+        tmg, n_points=20, step=0.002, burn_steps=20, use_new_estimate=True
+    )
+    d, _ = iv(np.array([0.5, 0.9]))
+    assert np.all(np.isfinite(np.asarray(d)))
+    assert np.all(np.asarray(d) >= 0)
