@@ -31,7 +31,7 @@ from ..mhmc import MHMC, normalized_update
 from ..ops.cholesky import np_matrix_to_real_tril_vec
 from ..ops.geometry import hs_dst, if_dst, trace_dst
 from ..ops.paulis import np_bloch_to_matrix
-from ..stats import l2_mean, l2_variance
+from ..stats import l2_moments_from_factor
 from . import bootstrap_core
 from .polytopes.utils import count_confidence, count_delta
 
@@ -118,16 +118,34 @@ class MomentInterval(ConfidenceInterval):
 
     def setup(self):
         if self.mode == Mode.STATE:
-            if self.tmg.povm_matrix is None:
-                raise NotImplementedError(
-                    "moment intervals need the dense POVM matrix; the "
-                    "tomograph is in kron-factored mode (use bootstrap)"
-                )
             dim = 2**self.tmg.state.n_qubits
             n_measurements = self.tmg.n_measurements
             freq = self.tmg.results / n_measurements[:, None]
-            povm_flat = self.tmg.povm_matrix.reshape(-1, self.tmg.povm_matrix.shape[-1])
-            inv = _left_inv_np(povm_flat) / dim
+            if self.tmg.povm_matrix is None:
+                if getattr(self.tmg, "povm_kron", None) is None:
+                    raise NotImplementedError(
+                        "moment intervals need a measurement design; run "
+                        "`experiment` or set `results` first"
+                    )
+                # kron-factored design: exact factored moments, no POVM /
+                # pseudo-inverse / weights-tensor materialization
+                from . import kron_analytic
+
+                mean, variance = kron_analytic.kron_l2_moments(
+                    self.tmg.povm_kron,
+                    self.tmg.state.n_qubits,
+                    freq,
+                    n_measurements[0],
+                )
+            else:
+                povm_flat = self.tmg.povm_matrix.reshape(
+                    -1, self.tmg.povm_matrix.shape[-1]
+                )
+                inv = _left_inv_np(povm_flat) / dim
+                inv = inv.reshape(-1, freq.shape[0], freq.shape[1])
+                mean, variance = l2_moments_from_factor(
+                    inv, freq, n_measurements[0]
+                )
         else:
             dim = 4**self.tmg.channel.n_qubits
             t0 = self.tmg.tomographs[0]
@@ -142,10 +160,8 @@ class MomentInterval(ConfidenceInterval):
                 states_matrix.shape[0] * povm_flat.shape[0], -1
             )
             inv = _left_inv_np(channel_matrix) / dim
-        inv = inv.reshape(-1, freq.shape[0], freq.shape[1])
-        weights = np.einsum("aij,akl->ijkl", inv, inv)
-        mean = l2_mean(freq, n_measurements[0], weights)
-        variance = l2_variance(freq, n_measurements[0], weights)
+            inv = inv.reshape(-1, freq.shape[0], freq.shape[1])
+            mean, variance = l2_moments_from_factor(inv, freq, n_measurements[0])
         if self.distr_type == "norm":
             distr = sts.norm(loc=mean, scale=np.sqrt(variance))
         elif self.distr_type == "gamma":
@@ -269,25 +285,41 @@ class SugiyamaInterval(ConfidenceInterval):
             raise NotImplementedError(
                 "Sugiyama interval works only for state tomography"
             )
-        if self.tmg.povm_matrix is None:
-            raise NotImplementedError(
-                "Sugiyama intervals need the dense POVM matrix; the "
-                "tomograph is in kron-factored mode (use bootstrap)"
-            )
         dim = 2**self.tmg.state.n_qubits
         dist = np.linspace(0, 1, self.n_points)
-        m, p, _ = self.tmg.povm_matrix.shape
-        povm_flat = self.tmg.povm_matrix.reshape(-1, 4 ** self.tmg.state.n_qubits)
-        povm_flat = povm_flat * dim / np.sqrt(2 * dim)
-        inv = _left_inv_np(povm_flat).reshape(-1, m, p)
-        ratios = self.tmg.n_measurements.sum() / self.tmg.n_measurements
-        c_alpha = (
-            np.sum(
-                (inv.max(axis=-1) - inv.min(axis=-1)) ** 2 * ratios[None, :],
-                axis=-1,
+        if self.tmg.povm_matrix is None:
+            if getattr(self.tmg, "povm_kron", None) is None:
+                raise NotImplementedError(
+                    "Sugiyama intervals need a measurement design; run "
+                    "`experiment` or set `results` first"
+                )
+            # kron-factored design: exact c_alpha from the per-qubit
+            # interval-arithmetic fold (uniform shots -> constant ratio m)
+            from . import kron_analytic
+
+            m = self.tmg.n_measurements.shape[0]
+            c_alpha = (
+                kron_analytic.kron_sugiyama_c_alpha(
+                    self.tmg.povm_kron, self.tmg.state.n_qubits
+                )
+                * m
+                + self.EPS
             )
-            + self.EPS
-        )
+        else:
+            m, p, _ = self.tmg.povm_matrix.shape
+            povm_flat = self.tmg.povm_matrix.reshape(
+                -1, 4 ** self.tmg.state.n_qubits
+            )
+            povm_flat = povm_flat * dim / np.sqrt(2 * dim)
+            inv = _left_inv_np(povm_flat).reshape(-1, m, p)
+            ratios = self.tmg.n_measurements.sum() / self.tmg.n_measurements
+            c_alpha = (
+                np.sum(
+                    (inv.max(axis=-1) - inv.min(axis=-1)) ** 2 * ratios[None, :],
+                    axis=-1,
+                )
+                + self.EPS
+            )
         if self.tmg.dst is hs_dst:
             b = 8 / (dim**2 - 1)
         elif self.tmg.dst is trace_dst:
@@ -594,39 +626,56 @@ class BootstrapProcessInterval(ConfidenceInterval):
             ),
             jnp.asarray(t0.n_measurements, dtype=rdtype()),
         )
-        if self.method == "lifp":
-            choi_blochs = process_core.estimate_lifp_factored(
-                counts,
-                jnp.asarray(self.tmg._input_blochs_t(), dtype=rdtype()),
-                jnp.asarray(t0.povm_matrix, dtype=rdtype()),
-                jnp.asarray(t0.n_measurements, dtype=rdtype()),
-                cptp=self.cptp,
-            )
-        elif self.method == "pgdb":
-            choi_blochs = process_core.estimate_pgdb_factored(
-                counts,
-                jnp.asarray(self.tmg._input_blochs_t(), dtype=rdtype()),
-                jnp.asarray(t0.povm_matrix, dtype=rdtype()),
-                jnp.asarray(t0.n_measurements, dtype=rdtype()),
-            )
-        elif self.method == "states":
-            from . import state_core
-            from ..ops.cplx import to_pair
+        input_blochs_t = jnp.asarray(self.tmg._input_blochs_t(), dtype=rdtype())
+        povm = jnp.asarray(t0.povm_matrix, dtype=rdtype())
+        n_meas = jnp.asarray(t0.n_measurements, dtype=rdtype())
+        n_ch = self.tmg.channel.n_qubits
 
-            est_blochs = state_core.estimate(
-                counts, t0.povm_matrix, t0.n_measurements,
-                method=self.states_est_method, physical=self.states_physical,
-                init=self.states_init,
-            )
-            dec_pair = to_pair(self.tmg._decomposed_single_entries)
-            choi_blochs = process_core.states_to_choi_bloch(est_blochs, dec_pair)
-            if self.cptp:
-                # unconditional batched projection (the reference projects
-                # only the samples that fail is_cptp, process.py:325-327;
-                # projecting a CPTP point is a no-op up to tolerance)
-                choi_blochs = process_core.cptp_project_bloch(choi_blochs)
-        else:
+        def estimate_chunk(c):
+            if self.method == "lifp":
+                return process_core.estimate_lifp_factored(
+                    c, input_blochs_t, povm, n_meas, cptp=self.cptp
+                )
+            if self.method == "pgdb":
+                pgdb = (
+                    process_core.estimate_pgdb_factored_host
+                    if n_ch >= 4
+                    else process_core.estimate_pgdb_factored
+                )
+                return pgdb(c, input_blochs_t, povm, n_meas)
+            if self.method == "states":
+                from . import state_core
+                from ..ops.cplx import to_pair
+
+                est_blochs = state_core.estimate(
+                    c, t0.povm_matrix, t0.n_measurements,
+                    method=self.states_est_method,
+                    physical=self.states_physical, init=self.states_init,
+                )
+                dec_pair = to_pair(self.tmg._decomposed_single_entries)
+                blochs = process_core.states_to_choi_bloch(est_blochs, dec_pair)
+                if self.cptp:
+                    # unconditional batched projection (the reference
+                    # projects only samples failing is_cptp,
+                    # process.py:325-327; projecting a CPTP point is a
+                    # no-op up to tolerance)
+                    blochs = process_core.cptp_project_bloch(blochs)
+                return blochs
             raise ValueError("Incorrect value for argument `method`")
+
+        # 4+ qubit channels: chunk the resample batch so the Dykstra-heavy
+        # re-estimation stays under the axon runtime's ~60 s
+        # single-execution cap (docs/tpu_constraints.md)
+        chunk = n_points if n_ch < 4 else 8
+        if chunk >= n_points:
+            choi_blochs = estimate_chunk(counts)
+        else:
+            choi_blochs = jnp.concatenate(
+                [
+                    estimate_chunk(counts[lo : lo + chunk])
+                    for lo in range(0, n_points, chunk)
+                ]
+            )
         ref_bloch = jnp.asarray(self.channel.choi.bloch, dtype=rdtype())
         n2 = 2 * self.tmg.channel.n_qubits
         dst_name = {hs_dst: "hs", trace_dst: "trace", if_dst: "if"}.get(self.tmg.dst)
@@ -873,6 +922,13 @@ class HolderInterval(ConfidenceInterval):
         if kind == "moment":
             self.intervals = [MomentInterval(t) for t in self.tmg.tomographs]
         elif kind == "mhmc":
+            if any(t.povm_matrix is None for t in self.tmg.tomographs):
+                raise NotImplementedError(
+                    "kind='mhmc' needs dense per-state POVMs (the NLL is "
+                    "evaluated against the materialized design); use "
+                    "kind='moment'/'sugiyama'/'bootstrap' for kron-mode "
+                    "child tomographs"
+                )
             self.intervals = [
                 MHMCStateInterval(
                     t, self.n_points, self.step, self.burn_steps, self.thinning,

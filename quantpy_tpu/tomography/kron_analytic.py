@@ -1,0 +1,175 @@
+"""Analytic confidence intervals on Kronecker-factored designs.
+
+Round 1 left Moment/Sugiyama intervals dense-POVM-only: above 5 qubits the
+tomograph never materializes its measurement matrix (kron_core), and the
+reference's recipes need its pseudo-inverse — MomentInterval builds the
+full (mp)^2 weights tensor (reference quantpy/tomography/interval.py:76-88)
+and SugiyamaInterval the per-axis inverse spread (interval.py:242-252).
+Both blow up at 6+ qubits (proj-set: the weights tensor alone would be
+(729*64)^2 ~ 2e9 entries).
+
+This module computes the SAME quantities exactly, exploiting that a product
+design factorizes its pseudo-inverse: for A = kron_n(A1),
+A^+ = kron_n(A1^+), so V = A^+ never has to exist. Everything reduces to
+per-qubit einsum steps over tensors no larger than the frequency table
+times small factors:
+
+- Moment interval: with the quadratic-form identities of stats.py
+  (mean = tr(R - S)/N, var = 2||R - S||_F^2/N^2; R = V diag(f) V^T,
+  S = (Vf per-POVM)(..)^T), every trace reduces to chains over the
+  single-qubit Gram kernel C1 = V1^T V1:
+      tr R    = < f, kron(diag C1) >
+      tr R^2  = < f, kron(C1 o C1) f >          (o = Hadamard)
+      S       = T T^T with T = per-POVM contraction of V against f
+      <R, S>  = sum_{ai} f[ai] || (V^T T)[ai, :] ||^2
+  The largest object is T (4^n x m1^n) resp. V^T T ((m1 p1)^n x m1^n,
+  computed in column chunks).
+
+- Sugiyama interval: c_alpha needs max_i - min_i over outcomes of
+  V[d, a, i] = prod_k V1[d_k, a_k, i_k]; the extrema of a product of
+  independently-chosen factors follow from an interval-arithmetic fold
+  over qubits carrying per-partial-product (min, max).
+
+Host numpy on purpose: these run once per interval setup (not in the hot
+path), and x64 matches the dense-path accuracy for the equality tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["kron_l2_moments", "kron_sugiyama_c_alpha"]
+
+
+def _v1(povm1: np.ndarray) -> np.ndarray:
+    """Single-qubit pseudo-inverse factor V1 (4, m1, p1) of the (m1, p1, 4)
+    POVM block: A^+ = kron(A1^+) for A = kron(A1)."""
+    povm1 = np.asarray(povm1, dtype=np.float64)
+    m1, p1, _ = povm1.shape
+    a1 = povm1.reshape(m1 * p1, 4)
+    v1 = np.linalg.solve(a1.T @ a1, a1.T)  # (4, m1*p1)
+    return v1.reshape(4, m1, p1)
+
+
+def _interleave(freq: np.ndarray, m1: int, p1: int, n: int) -> np.ndarray:
+    """(m1^n, p1^n) frequency table -> qubit-major (m1, p1)*n layout."""
+    x = np.asarray(freq, dtype=np.float64).reshape((m1,) * n + (p1,) * n)
+    perm = [j for k in range(n) for j in (k, n + k)]
+    return x.transpose(perm)
+
+
+def _compute_t(x, v1, n):
+    """T[d, a] = sum_i prod_k V1[d_k, a_k, i_k] f[a, i] as (4^n, m1^n).
+
+    x is the interleaved frequency table; each step consumes the leading
+    (a, i) pair and appends (d, a)."""
+    for _ in range(n):
+        x = np.einsum("ai...,dai->...da", x, v1)
+    # axes now (d1, a1, ..., dn, an) -> (d.., a..)
+    perm = [2 * k for k in range(n)] + [2 * k + 1 for k in range(n)]
+    x = x.transpose(perm)
+    return x.reshape(4**n, -1)
+
+
+def _kron_quadform(x, op, n):
+    """< x, kron_n(op) x > for an (m1, p1, m1, p1) per-qubit operator and an
+    interleaved table x; each step consumes the leading (a, i) pair and
+    appends (b, j), so the result stays in interleaved layout."""
+    y = x
+    for _ in range(n):
+        y = np.einsum("ai...,aibj->...bj", y, op)
+    return float(np.sum(x * y))
+
+
+def _kron_diag_contract(x, diag, n):
+    """< f, kron_n(diag) > for a per-qubit (m1, p1) diagonal table."""
+    y = x
+    for _ in range(n):
+        y = np.einsum("ai...,ai->...", y, diag)
+    return float(y)
+
+
+def kron_l2_moments(povm1, n_qubits: int, freq, n_trials, chunk: int | None = None):
+    """(mean, variance) of the weighted L2 statistic of MomentInterval for a
+    kron-factored design — exact (same numbers as the dense path, verified
+    by test), never materializing the POVM, its pseudo-inverse, or the
+    weights tensor.
+
+    povm1: (m1, p1, 4) single-qubit block; freq: (m1^n, p1^n) observed
+    frequencies; n_trials: shots per POVM (uniform — the kron experiment
+    path guarantees this).
+    """
+    n = n_qubits
+    v1 = _v1(np.asarray(povm1)) * 0.5  # per-qubit share of the 1/2^n scale
+    m1, p1 = v1.shape[1], v1.shape[2]
+    x = _interleave(freq, m1, p1, n)
+
+    v1f = v1.reshape(4, m1 * p1)
+    c1 = (v1f.T @ v1f).reshape(m1, p1, m1, p1)  # per-qubit Gram kernel
+    diag_c1 = np.einsum("aiai->ai", c1)
+
+    tr_r = _kron_diag_contract(x, diag_c1, n)
+    tr_r2 = _kron_quadform(x, c1 * c1, n)
+
+    t = _compute_t(x, v1, n)  # (4^n, m1^n)
+    tr_s = float(np.sum(t * t))
+    y = t.T @ t  # (m1^n, m1^n)
+    tr_s2 = float(np.sum(y * y))
+
+    # <R, S> = sum_{ai} f[ai] * sum_b G[ai, b]^2 with G = V^T T, computed in
+    # column chunks of T to bound memory at (m1 p1)^n * chunk
+    f_flat_interleaved = x  # (m1, p1)*n layout
+    rs = 0.0
+    m_total = t.shape[1]
+    if chunk is None:  # keep each chunk's work tensor under ~2^24 entries
+        chunk = max(1, (1 << 24) // (m1 * p1) ** n)
+    import string
+
+    sub = string.ascii_lowercase[: 2 * n]  # (a1, i1, ..., an, in) letters
+    for lo in range(0, m_total, chunk):
+        cols = t[:, lo : lo + chunk].reshape((4,) * n + (-1,))
+        g = cols
+        for _ in range(n):
+            g = np.einsum("d...,dai->...ai", g, v1)
+        # g axes: (B, a1, i1, ..., an, in); contract everything to a scalar
+        rs += float(np.einsum(f"z{sub},{sub}->", g * g, f_flat_interleaved))
+    mean = (tr_r - tr_s) / n_trials
+    variance = 2.0 * (tr_r2 - 2.0 * rs + tr_s2) / n_trials**2
+    return mean, variance
+
+
+def kron_sugiyama_c_alpha(povm1, n_qubits: int) -> np.ndarray:
+    """The Sugiyama c_alpha vector (4^n,) for a kron-factored design.
+
+    Dense recipe (reference interval.py:242-252): scale the POVM rows by
+    dim/sqrt(2 dim), invert, and for every bloch axis d sum over POVMs the
+    squared outcome spread (max_i - min_i of inv[d, a, i]) times the shot
+    ratio. Here inv[d, a, i] = s * prod_k V1[d_k, a_k, i_k] with
+    s = sqrt(2/dim), and the per-axis extrema over the product of
+    independently-chosen outcome factors come from an interval-arithmetic
+    fold: carry (lo, hi) of the partial product and extend one qubit at a
+    time over all p1 candidate factors.
+
+    Returns c_alpha WITHOUT the shot-ratio weighting (uniform shots give a
+    constant ratio m1^n applied by the caller) and WITHOUT the +EPS floor.
+    """
+    n = n_qubits
+    v1 = _v1(np.asarray(povm1))  # (4, m1, p1)
+    dim = 2**n
+    s = np.sqrt(2.0 / dim)
+
+    lo = np.ones(())
+    hi = np.ones(())
+    for _ in range(n):
+        # candidates over this qubit's outcomes: shape (..., d, a, p1)
+        cand_lo = lo[..., None, None, None] * v1
+        cand_hi = hi[..., None, None, None] * v1
+        both = np.stack([cand_lo, cand_hi])
+        lo = both.min(axis=0).min(axis=-1)  # (..., d, a)
+        hi = both.max(axis=0).max(axis=-1)
+    # axes (d1, a1, ..., dn, an) -> (d.., a..)
+    perm = [2 * k for k in range(n)] + [2 * k + 1 for k in range(n)]
+    lo = lo.transpose(perm).reshape(4**n, -1)
+    hi = hi.transpose(perm).reshape(4**n, -1)
+    spread = (hi - lo) * s
+    return np.sum(spread**2, axis=-1)

@@ -78,6 +78,87 @@ def test_moment_coverage_calibration(state_tmg):
     assert covered / n_trials >= 0.8  # >= nominal 0.9 minus statistical slack
 
 
+# --------------------------------------------------- kron-mode analytic CIs
+
+
+def _kron_twin(tmg):
+    """A tomograph carrying the same data as `tmg` but in kron-factored
+    mode (povm_matrix=None), to compare dense vs factored interval paths."""
+    from quantpy_tpu.measurements import _single_qubit_preset
+
+    twin = qt.StateTomograph(tmg.state, key=0)
+    twin.povm_kron = _single_qubit_preset("proj-set")
+    twin.povm_matrix = None
+    twin.n_measurements = tmg.n_measurements
+    twin._results = tmg.results
+    return twin
+
+
+@pytest.fixture(scope="module")
+def state_tmg_3q():
+    tmg = qt.StateTomograph(qt.GHZ(3), key=31)
+    tmg.experiment(2000, "proj-set")
+    tmg.point_estimate("lin")
+    return tmg
+
+
+def test_moment_interval_kron_matches_dense(state_tmg_3q):
+    dense = qt.MomentInterval(state_tmg_3q)
+    dense.setup()
+    factored = qt.MomentInterval(_kron_twin(state_tmg_3q))
+    factored.setup()
+    cl = np.linspace(0.1, 0.99, 25)
+    np.testing.assert_allclose(
+        factored.cl_to_dist(cl), dense.cl_to_dist(cl), rtol=1e-8
+    )
+
+
+def test_sugiyama_interval_kron_matches_dense(state_tmg_3q):
+    dense = qt.SugiyamaInterval(state_tmg_3q)
+    dense.setup()
+    factored = qt.SugiyamaInterval(_kron_twin(state_tmg_3q))
+    factored.setup()
+    cl = np.linspace(0.2, 0.95, 10)
+    np.testing.assert_allclose(
+        factored.cl_to_dist(cl), dense.cl_to_dist(cl), rtol=1e-8
+    )
+
+
+def test_analytic_intervals_6q_kron_mode():
+    """6-qubit kron-mode tomograph produces Moment + Sugiyama radii
+    (round-1 gap: only bootstrap CIs existed beyond 5 qubits)."""
+    tmg = qt.StateTomograph(qt.GHZ(6), key=61)
+    tmg.experiment(1000, "proj-set")
+    assert tmg.povm_matrix is None  # really on the factored path
+    for iv in (qt.MomentInterval(tmg), qt.SugiyamaInterval(tmg)):
+        iv.setup()
+        d = np.asarray(iv.cl_to_dist(np.linspace(0.1, 0.99, 20)))
+        assert np.all(np.isfinite(d)) and np.all(d >= 0)
+        assert np.all(np.diff(d) >= -1e-9)
+
+
+@pytest.mark.slow
+def test_moment_coverage_6q_kron():
+    """Calibration at 6 qubits: the kron-mode moment CI covers the true
+    state at roughly its nominal level. The moment CI models the
+    UNPROJECTED linear-inversion error (the reference CLI pairs it with
+    point_estimate(physical=False), scripts/state_interval.py:48); at 64
+    dims the eigenvalue-clip feasibility projection is far from a metric
+    projection, so the physical estimate is the wrong comparison point."""
+    true = qt.GHZ(6)
+    n_trials, covered = 20, 0
+    for i in range(n_trials):
+        t = qt.StateTomograph(true, key=6000 + i)
+        t.experiment(1000, "proj-set")
+        est = t.point_estimate("lin", physical=False)
+        iv = qt.MomentInterval(t)
+        iv.setup()
+        d95 = float(iv.cl_to_dist(0.95))
+        if float(qt.hs_dst(est, true)) <= d95:
+            covered += 1
+    assert covered / n_trials >= 0.75
+
+
 # ------------------------------------------------------------- fidelity bands
 
 
