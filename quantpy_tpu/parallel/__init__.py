@@ -1,5 +1,17 @@
 """Multi-chip scaling over jax.sharding meshes."""
 
-from .mesh import make_mesh, povm_sharded_probabilities, sharded_bootstrap_distances
+from .mesh import (
+    make_mesh,
+    povm_sharded_probabilities,
+    sharded_bootstrap_distances,
+    sharded_coverage,
+    sharded_process_bootstrap_distances,
+)
 
-__all__ = ["make_mesh", "povm_sharded_probabilities", "sharded_bootstrap_distances"]
+__all__ = [
+    "make_mesh",
+    "povm_sharded_probabilities",
+    "sharded_bootstrap_distances",
+    "sharded_coverage",
+    "sharded_process_bootstrap_distances",
+]

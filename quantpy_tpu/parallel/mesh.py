@@ -27,7 +27,13 @@ from jax import shard_map
 from ..config import rdtype
 from ..tomography import bootstrap_core
 
-__all__ = ["make_mesh", "sharded_bootstrap_distances", "povm_sharded_probabilities"]
+__all__ = [
+    "make_mesh",
+    "sharded_bootstrap_distances",
+    "sharded_process_bootstrap_distances",
+    "sharded_coverage",
+    "povm_sharded_probabilities",
+]
 
 BATCH_AXIS = "batch"
 
@@ -92,6 +98,119 @@ def sharded_bootstrap_distances(
         jnp.asarray(povm_matrix, dtype=rdtype()),
         jnp.asarray(n_measurements, dtype=rdtype()),
     )
+
+
+def sharded_process_bootstrap_distances(
+    mesh: Mesh,
+    key,
+    choi_bloch,
+    out_blochs,
+    input_blochs_t,
+    povm_matrix,
+    n_measurements,
+    n_points: int,
+    cptp: bool = True,
+    dst: str = "hs",
+):
+    """Process bootstrap (simulate + factored lifp [+ CPTP projection] +
+    Choi distance) data-parallel over the mesh.
+
+    The reference's BootstrapProcessInterval loop (interval.py:658-685) is
+    embarrassingly parallel over resamples; here every device re-estimates
+    its n_points/n_dev shard from its own key fold. All-real signature:
+    choi_bloch (16^n,) reference point, out_blochs (S, 4^n) channel output
+    states, input_blochs_t (S, 4^n) transposed inputs.
+    """
+    import math
+
+    from ..tomography import process_core
+
+    n_dev = mesh.devices.size
+    if n_points % n_dev:
+        raise ValueError(f"n_points={n_points} must divide by {n_dev} devices")
+    per_dev = n_points // n_dev
+    keys = jax.random.split(key, n_dev)
+    n2 = int(round(math.log(jnp.asarray(choi_bloch).shape[-1], 4)))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(), P(), P(), P(), P()),
+        out_specs=P(BATCH_AXIS),
+        check_vma=False,  # multinomial's internal while_loop carries
+        # device-varying state the VMA checker cannot type
+    )
+    def run(keys_shard, choi_ref, outs, inputs_t, povm, n_meas):
+        counts = process_core.simulate_process_experiment(
+            keys_shard[0],
+            povm,
+            jnp.broadcast_to(outs, (per_dev,) + outs.shape),
+            n_meas,
+        )
+        blochs = process_core.estimate_lifp_factored(
+            counts, inputs_t, povm, n_meas, cptp=cptp
+        )
+        return bootstrap_core._distance_batch(dst, blochs, choi_ref, n2)
+
+    return jax.jit(run)(
+        keys,
+        jnp.asarray(choi_bloch, dtype=rdtype()),
+        jnp.asarray(out_blochs, dtype=rdtype()),
+        jnp.asarray(input_blochs_t, dtype=rdtype()),
+        jnp.asarray(povm_matrix, dtype=rdtype()),
+        jnp.asarray(n_measurements, dtype=rdtype()),
+    )
+
+
+def sharded_coverage(
+    mesh: Mesh,
+    key,
+    problem,
+    conf_levels,
+    n_trials: int,
+):
+    """Monte-Carlo coverage (polytopes/verification.py) sharded over the
+    mesh: each device simulates and tests n_trials/n_dev experiments from
+    its own key fold; per-level hit counts ride a psum over ICI.
+
+    `problem` is the tuple from verification.qst_problem / qpt_problem.
+    Returns per-level coverage (L,), replicated.
+    """
+    from ..tomography.polytopes import verification
+
+    povm, n_meas, sim_blochs, prod, offset, clip_b = problem
+    n_dev = mesh.devices.size
+    if n_trials % n_dev:
+        raise ValueError(f"n_trials={n_trials} must divide by {n_dev} devices")
+    per_dev = n_trials // n_dev
+    keys = jax.random.split(key, n_dev)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(keys_shard, povm, n_meas, sim_blochs, prod, offset, cl):
+        sums = verification.coverage_hits(
+            keys_shard[0], povm, n_meas, sim_blochs, prod, offset, cl,
+            per_dev, clip_b,
+        )
+        return jax.lax.psum(sums, BATCH_AXIS)
+
+    sums = jax.jit(run)(
+        keys,
+        jnp.asarray(povm, dtype=rdtype()),
+        jnp.asarray(n_meas, dtype=rdtype()),
+        jnp.asarray(sim_blochs, dtype=rdtype()),
+        jnp.asarray(prod, dtype=rdtype()),
+        jnp.asarray(offset, dtype=rdtype()),
+        jnp.asarray(conf_levels, dtype=rdtype()),
+    )
+    import numpy as np
+
+    return np.asarray(sums, dtype=np.float64) / n_trials
 
 
 def povm_sharded_probabilities(mesh: Mesh, povm_flat, bloch):

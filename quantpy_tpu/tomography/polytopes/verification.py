@@ -7,10 +7,15 @@ satisfies every polytope inequality at each nominal confidence level.
 
 The reference loops trials in Python (1000+ experiments x bisections each);
 here all trials are simulated in one device call and the (trial, level)
-bisection grid is one vmapped fixed-depth bisection.
+bisection grid is one vmapped fixed-depth bisection. The per-key trial
+kernel (:func:`coverage_hits`) is exposed separately so the mesh layer can
+shard trials across chips (parallel/mesh.py: each device runs its own key
+fold, hit counts are psum-reduced over ICI).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -21,12 +26,12 @@ from ...measurements import generate_measurement_matrix
 from .. import state_core
 from .utils import count_delta
 
-__all__ = ["test_qst", "test_qpt"]
+__all__ = ["test_qst", "test_qpt", "qst_problem", "qpt_problem", "coverage_hits"]
 
 _EPS = 1e-15
 
 
-def _coverage(polytope_prod, base_offset, freq_clipped, counts_n_meas, conf_levels,
+def _coverage(polytope_prod, base_offset, counts_n_meas, conf_levels,
               clip_b: bool):
     """Shared coverage count: for each (trial, level), check
     min(b - A @ true_bloch) > -EPS with b = clip(freq + delta) - offset."""
@@ -51,12 +56,43 @@ def _coverage(polytope_prod, base_offset, freq_clipped, counts_n_meas, conf_leve
     return per_trial
 
 
-def test_qst(state, conf_levels, n_measurements=1000, n_trials=1000, key=None):
-    """Empirical coverage of the state confidence polytope
-    (reference verification.py:9-37). Returns per-level coverage in [0, 1].
-    """
-    if key is None:
-        key = jax.random.key(0)
+@functools.partial(jax.jit, static_argnames=("n_trials", "clip_b"))
+def coverage_hits(
+    key,
+    povm_matrix,
+    n_meas,
+    sim_blochs,
+    polytope_prod,
+    base_offset,
+    conf_levels,
+    n_trials: int,
+    clip_b: bool,
+):
+    """Per-level HIT COUNTS (L,) over `n_trials` simulated experiments.
+
+    The shardable unit of the coverage harness: simulate + clip + polytope
+    membership for one key. `sim_blochs` is the (4^n,) state bloch (QST) or
+    the (S, 4^n) output-state blochs (QPT); all-real signature."""
+    povm_matrix = jnp.asarray(povm_matrix, dtype=rdtype())
+    n_meas = jnp.asarray(n_meas, dtype=rdtype())
+    sim_blochs = jnp.asarray(sim_blochs, dtype=rdtype())
+    blochs = jnp.broadcast_to(sim_blochs, (n_trials,) + sim_blochs.shape)
+    counts = state_core.simulate_experiment(key, povm_matrix, blochs, n_meas)
+    freq = jnp.clip(counts / n_meas[:, None], _EPS, 1 - _EPS)
+    per_trial = _coverage(
+        jnp.asarray(polytope_prod, rdtype()),
+        jnp.asarray(base_offset, rdtype()),
+        n_meas,
+        conf_levels,
+        clip_b=clip_b,
+    )
+    hits = jax.vmap(per_trial)(freq)
+    return jnp.sum(hits.astype(rdtype()), axis=0)
+
+
+def qst_problem(state, n_measurements):
+    """Static arrays of the QST coverage problem: (povm_matrix, n_meas,
+    sim_blochs, polytope_prod, base_offset, clip_b)."""
     dim = 2**state.n_qubits
     povm_matrix = generate_measurement_matrix("proj-set", state.n_qubits)
     m = povm_matrix.shape[0]
@@ -66,35 +102,23 @@ def test_qst(state, conf_levels, n_measurements=1000, n_trials=1000, key=None):
         povm_matrix * n_meas[:, None, None] / n_meas.sum()
     ).reshape(-1, povm_matrix.shape[-1]) * m
     a_matrix = povm_flat[:, 1:] * dim
-    polytope_prod = jnp.asarray(
-        a_matrix @ np.asarray(state.bloch[1:]), dtype=rdtype()
+    polytope_prod = a_matrix @ np.asarray(state.bloch[1:])
+    base_offset = povm_flat[:, 0]
+    return (
+        povm_matrix,
+        n_meas,
+        np.asarray(state.bloch, dtype=np.float64),
+        polytope_prod,
+        base_offset,
+        True,
     )
-    base_offset = jnp.asarray(povm_flat[:, 0], dtype=rdtype())
-
-    bloch = jnp.asarray(state.bloch, dtype=rdtype())
-    blochs = jnp.broadcast_to(bloch, (n_trials,) + bloch.shape)
-    counts = state_core.simulate_experiment(
-        key, jnp.asarray(povm_matrix, rdtype()), blochs, jnp.asarray(n_meas, rdtype())
-    )
-    freq = jnp.clip(
-        counts / jnp.asarray(n_meas, rdtype())[:, None], _EPS, 1 - _EPS
-    )
-    per_trial = _coverage(
-        polytope_prod, base_offset, freq, jnp.asarray(n_meas, rdtype()),
-        conf_levels, clip_b=True,
-    )
-    hits = jax.jit(jax.vmap(per_trial))(freq)
-    return np.asarray(jnp.mean(hits.astype(rdtype()), axis=0), dtype=np.float64)
 
 
-def test_qpt(channel, conf_levels, n_measurements=1000, n_trials=1000,
-             input_states="sic", key=None):
-    """Empirical coverage of the process confidence polytope
-    (reference verification.py:40-78)."""
+def qpt_problem(channel, n_measurements, input_states="sic"):
+    """Static arrays of the QPT coverage problem (same tuple layout as
+    :func:`qst_problem`)."""
     from ..process import ProcessTomograph
 
-    if key is None:
-        key = jax.random.key(1)
     tmg = ProcessTomograph(channel, input_states=input_states)
     n = channel.n_qubits
     dim = 4**n
@@ -111,28 +135,42 @@ def test_qpt(channel, conf_levels, n_measurements=1000, n_trials=1000,
     a_matrix = (
         np.einsum("ia,jb->ijab", states_matrix, meas_flat[:, 1:]) * dim
     ).reshape(states_matrix.shape[0] * meas_flat.shape[0], -1)
-    polytope_prod = jnp.asarray(
-        a_matrix @ np.asarray(channel.choi.bloch)[bloch_indices], dtype=rdtype()
-    )
-    base_offset = jnp.asarray(
-        np.tile(meas_flat[:, 0], states_matrix.shape[0]), dtype=rdtype()
-    )
+    polytope_prod = a_matrix @ np.asarray(channel.choi.bloch)[bloch_indices]
+    base_offset = np.tile(meas_flat[:, 0], states_matrix.shape[0])
 
     out_blochs = np.stack(
         [channel.transform(s).bloch for s in tmg.input_basis.elements]
     )
-    blochs = jnp.broadcast_to(
-        jnp.asarray(out_blochs, rdtype()), (n_trials,) + out_blochs.shape
+    return povm_matrix, n_meas, out_blochs, polytope_prod, base_offset, False
+
+
+def test_qst(state, conf_levels, n_measurements=1000, n_trials=1000, key=None):
+    """Empirical coverage of the state confidence polytope
+    (reference verification.py:9-37). Returns per-level coverage in [0, 1].
+    """
+    if key is None:
+        key = jax.random.key(0)
+    povm, n_meas, sim_blochs, prod, offset, clip_b = qst_problem(
+        state, n_measurements
     )
-    counts = state_core.simulate_experiment(
-        key, jnp.asarray(povm_matrix, rdtype()), blochs, jnp.asarray(n_meas, rdtype())
+    sums = coverage_hits(
+        key, povm, n_meas, sim_blochs, prod, offset,
+        jnp.asarray(conf_levels, rdtype()), n_trials, clip_b,
     )
-    freq = jnp.clip(
-        counts / jnp.asarray(n_meas, rdtype())[:, None], _EPS, 1 - _EPS
+    return np.asarray(sums, dtype=np.float64) / n_trials
+
+
+def test_qpt(channel, conf_levels, n_measurements=1000, n_trials=1000,
+             input_states="sic", key=None):
+    """Empirical coverage of the process confidence polytope
+    (reference verification.py:40-78)."""
+    if key is None:
+        key = jax.random.key(1)
+    povm, n_meas, sim_blochs, prod, offset, clip_b = qpt_problem(
+        channel, n_measurements, input_states
     )
-    per_trial = _coverage(
-        polytope_prod, base_offset, freq, jnp.asarray(n_meas, rdtype()),
-        conf_levels, clip_b=False,
+    sums = coverage_hits(
+        key, povm, n_meas, sim_blochs, prod, offset,
+        jnp.asarray(conf_levels, rdtype()), n_trials, clip_b,
     )
-    hits = jax.jit(jax.vmap(per_trial))(freq)
-    return np.asarray(jnp.mean(hits.astype(rdtype()), axis=0), dtype=np.float64)
+    return np.asarray(sums, dtype=np.float64) / n_trials

@@ -79,3 +79,72 @@ def test_povm_sharded_probabilities(design):
     w_pad = np.vstack([w, np.zeros((pad, w.shape[1]))])
     p = np.asarray(povm_sharded_probabilities(mesh, w_pad, est.bloch))
     np.testing.assert_allclose(p, w_pad @ est.bloch, atol=1e-10)
+
+
+def test_sharded_process_bootstrap(design):
+    """Process bootstrap sharded over the mesh: per-device lifp re-estimates
+    match the statistics of the single-device path."""
+    from quantpy_tpu.channel import depolarizing
+    from quantpy_tpu.parallel import sharded_process_bootstrap_distances
+    from quantpy_tpu.tomography.process import ProcessTomograph
+
+    true = depolarizing(0.4)
+    tmg = ProcessTomograph(true, key=13)
+    tmg.experiment(2000, "proj-set")
+    est = tmg.point_estimate("lifp")
+    mesh = make_mesh()
+    out_blochs = np.stack(
+        [est.transform(s).bloch for s in tmg.input_basis.elements]
+    )
+    d = np.asarray(
+        sharded_process_bootstrap_distances(
+            mesh,
+            jax.random.key(2),
+            np.asarray(est.choi.bloch, dtype=np.float64),
+            out_blochs,
+            tmg._input_blochs_t(),
+            tmg.tomographs[0].povm_matrix,
+            tmg.tomographs[0].n_measurements,
+            n_points=64,
+        )
+    )
+    assert d.shape == (64,)
+    assert np.isfinite(d).all() and (d >= 0).all()
+    # statistics agree with the single-device bootstrap interval
+    iv = qt.BootstrapProcessInterval(tmg, n_points=64, key=jax.random.key(3))
+    iv.setup()
+    d_single = iv.cl_to_dist(np.linspace(0.05, 0.95, 10))
+    assert abs(np.median(d) - np.median(d_single)) < 0.5 * np.median(d_single)
+
+
+def test_sharded_coverage_matches_single_device():
+    from quantpy_tpu.parallel import sharded_coverage
+    from quantpy_tpu.tomography.polytopes import verification
+
+    conf = np.array([0.5, 0.8, 0.95])
+    problem = verification.qst_problem(qt.GHZ(2), 500)
+    mesh = make_mesh()
+    cov = sharded_coverage(mesh, jax.random.key(4), problem, conf, n_trials=320)
+    assert cov.shape == conf.shape
+    assert np.all((0 <= cov) & (cov <= 1))
+    single = verification.test_qst(
+        qt.GHZ(2), conf, n_measurements=500, n_trials=320, key=jax.random.key(5)
+    )
+    # same experiment, different random streams: Monte-Carlo agreement
+    np.testing.assert_allclose(cov, single, atol=0.12)
+    # coverage should be at least the nominal level (conservative polytopes)
+    assert np.all(cov >= conf - 0.1)
+
+
+def test_sharded_coverage_qpt_problem():
+    from quantpy_tpu.channel import depolarizing
+    from quantpy_tpu.parallel import sharded_coverage
+    from quantpy_tpu.tomography.polytopes import verification
+
+    conf = np.array([0.6, 0.9])
+    problem = verification.qpt_problem(depolarizing(0.3), 400)
+    mesh = make_mesh()
+    cov = sharded_coverage(mesh, jax.random.key(6), problem, conf, n_trials=160)
+    assert cov.shape == conf.shape
+    assert np.all((0 <= cov) & (cov <= 1))
+    assert np.all(cov >= conf - 0.15)
