@@ -22,7 +22,13 @@ import numpy as np
 
 from .config import rdtype
 
-__all__ = ["MHMC", "basic_update", "normalized_update"]
+__all__ = [
+    "MHMC",
+    "basic_update",
+    "normalized_update",
+    "split_rhat",
+    "effective_sample_size",
+]
 
 
 def basic_update(x, delta, step):
@@ -36,17 +42,33 @@ def normalized_update(x, delta, step):
     return x_new / jnp.linalg.norm(x_new, axis=-1, keepdims=True)
 
 
+#: named symmetric proposal samplers: callable(key, shape, dtype) -> delta.
+#: The reference accepts any scipy frozen distribution (mhmc.py:30-48);
+#: here proposals must be jax-traceable, so custom distributions are passed
+#: as samplers with this signature (documented divergence). Only symmetric
+#: proposals are valid (no Hastings correction is applied).
+_JUMP_DISTRS = {
+    "normal": lambda key, shape, dtype: jax.random.normal(key, shape, dtype),
+    "uniform": lambda key, shape, dtype: jax.random.uniform(
+        key, shape, dtype, minval=-1.0, maxval=1.0
+    ),
+    "laplace": lambda key, shape, dtype: jax.random.laplace(key, shape, dtype),
+    "cauchy": lambda key, shape, dtype: jax.random.cauchy(key, shape, dtype),
+}
+
+
 @functools.partial(
-    jax.jit, static_argnames=("logpdf", "update_rule", "n_steps", "keep_every")
+    jax.jit,
+    static_argnames=("logpdf", "update_rule", "jump_fn", "n_steps", "keep_every"),
 )
-def _run_chain(key, x0, logpdf, update_rule, step, n_steps, keep_every):
+def _run_chain(key, x0, logpdf, update_rule, jump_fn, step, n_steps, keep_every):
     """Scan a Metropolis chain for n_steps; return every keep_every-th
     state (post-hoc thinning) and the acceptance count."""
 
     def mh_step(carry, key_t):
         x, logp_x = carry
         k1, k2 = jax.random.split(key_t)
-        delta = jax.random.normal(k1, x.shape, dtype=x.dtype)
+        delta = jump_fn(k1, x.shape, x.dtype)
         x_prime = update_rule(x, delta, step)
         logp_prime = logpdf(x_prime)
         accept = jnp.log(jax.random.uniform(k2, dtype=x.dtype)) <= (
@@ -63,12 +85,68 @@ def _run_chain(key, x0, logpdf, update_rule, step, n_steps, keep_every):
     return xs[keep_every - 1 :: keep_every], jnp.sum(accepts)
 
 
+def split_rhat(chains) -> float:
+    """Split-R-hat convergence diagnostic (Gelman et al.) of a scalar
+    series per chain: chains (n_chains, n_samples). Values near 1 indicate
+    the chains have mixed; > ~1.05 flags non-convergence."""
+    x = np.asarray(chains, dtype=np.float64)
+    m, n = x.shape
+    half = n // 2
+    if half < 2:
+        return float("nan")
+    x = np.concatenate([x[:, :half], x[:, half : 2 * half]], axis=0)
+    m, n = x.shape
+    chain_means = x.mean(axis=1)
+    b = n * chain_means.var(ddof=1)
+    w = x.var(axis=1, ddof=1).mean()
+    if w == 0:
+        return 1.0
+    var_plus = (n - 1) / n * w + b / n
+    return float(np.sqrt(var_plus / w))
+
+
+def effective_sample_size(chains) -> float:
+    """Multi-chain effective sample size of a scalar series via FFT
+    autocorrelations with Geyer's initial-positive-sequence truncation."""
+    x = np.asarray(chains, dtype=np.float64)
+    m, n = x.shape
+    if n < 4:
+        return float(m * n)
+    x = x - x.mean(axis=1, keepdims=True)
+    # per-chain autocorrelation via FFT
+    size = 2 ** int(np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(x, size, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), size, axis=1)[:, :n].real
+    acov /= np.arange(n, 0, -1)[None, :]
+    denom = acov[:, 0].mean()
+    if denom == 0:
+        return float(m * n)
+    rho = acov.mean(axis=0) / denom
+    # Geyer: sum consecutive pairs while positive
+    tau = 1.0
+    t = 1
+    while t + 1 < n:
+        pair = rho[t] + rho[t + 1]
+        if pair < 0:
+            break
+        tau += 2 * pair
+        t += 2
+    return float(m * n / max(tau, 1e-12))
+
+
 class MHMC:
     """Metropolis-Hastings sampler over an unnormalized log-density.
 
     Parameters (matching reference mhmc.py:30-48)
     ----------
     target_logpdf : callable(x) -> scalar, jax-traceable
+    jump_distr : None, str, or callable — proposal sampler. None = isotropic
+        normal (the reference default). A name from
+        {'normal', 'uniform', 'laplace', 'cauchy'} or any jax-traceable
+        callable(key, shape, dtype) -> delta. The reference takes scipy
+        frozen distributions (mhmc.py:30-48), whose host-side .rvs cannot
+        run inside a device chain — documented divergence. Proposals must
+        be SYMMETRIC (no Hastings correction is applied).
     step : float — proposal scale
     burn_steps : int
     dim : int — state dimension
@@ -91,9 +169,22 @@ class MHMC:
         x_init=None,
         key=None,
     ):
-        if jump_distr is not None:
+        if jump_distr is None:
+            self.jump_fn = _JUMP_DISTRS["normal"]
+        elif isinstance(jump_distr, str):
+            if jump_distr not in _JUMP_DISTRS:
+                raise ValueError(
+                    f"Unknown jump_distr {jump_distr!r}; available: "
+                    f"{sorted(_JUMP_DISTRS)} or a callable(key, shape, dtype)"
+                )
+            self.jump_fn = _JUMP_DISTRS[jump_distr]
+        elif callable(jump_distr):
+            self.jump_fn = jump_distr
+        else:
             raise NotImplementedError(
-                "Only the default isotropic normal proposal is supported"
+                "jump_distr must be None, a name, or a jax-traceable "
+                "callable(key, shape, dtype) (scipy frozen distributions "
+                "cannot run inside the device chain)"
             )
         if not symmetric:
             raise NotImplementedError("Asymmetric proposals are not supported")
@@ -134,7 +225,7 @@ class MHMC:
         for _ in range(max_rounds):
             xs, accepted = _run_chain(
                 self._next_key(), self.x_t, self.target_logpdf,
-                self.update_rule, self.step, segment, 1,
+                self.update_rule, self.jump_fn, self.step, segment, 1,
             )
             self.x_t = xs[-1]
             rate = float(accepted) / segment
@@ -161,6 +252,7 @@ class MHMC:
                 self.x_t,
                 self.target_logpdf,
                 self.update_rule,
+                self.jump_fn,
                 self.step,
                 int(self.burn_steps),
                 max(int(self.burn_steps), 1),
@@ -173,6 +265,7 @@ class MHMC:
             self.x_t,
             self.target_logpdf,
             self.update_rule,
+            self.jump_fn,
             self.step,
             total,
             int(thinning),
@@ -190,7 +283,7 @@ class MHMC:
         def one(key):
             xs, acc = _run_chain(
                 key, self.x_t, self.target_logpdf, self.update_rule,
-                self.step, total, 1,
+                self.jump_fn, self.step, total, 1,
             )
             kept = xs[int(self.burn_steps) :]
             return kept[int(thinning) - 1 :: int(thinning)], acc

@@ -720,21 +720,31 @@ class MHMCStateInterval(ConfidenceInterval):
         key=None,
         temper: bool = True,
         adapt_step: bool = False,
+        n_chains: int = 1,
+        jump_distr=None,
     ):
         """`temper=True` (default) samples exp(-NLL/N) like the reference
         (its _nll is frequency-normalized, state.py:217-229) — a posterior
         flattened by the total shot count, giving very wide intervals.
         `temper=False` samples the true count-weighted likelihood.
         `adapt_step=True` tunes the proposal scale during burn-in toward a
-        ~25 percent acceptance rate (see MHMC.adapt_step)."""
+        ~25 percent acceptance rate (see MHMC.adapt_step).
+        `n_chains > 1` runs that many independent chains vmapped in
+        parallel (each with its own burn-in) and reports the split-R-hat
+        and effective-sample-size diagnostics (`r_hat`, `ess` attributes)
+        of the distance series. `jump_distr` selects the symmetric proposal
+        (see MHMC)."""
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
             thinning=thinning, warm_start=warm_start,
             use_new_estimate=use_new_estimate, state=state, verbose=verbose,
             key=key, temper=temper, adapt_step=adapt_step,
+            n_chains=n_chains, jump_distr=jump_distr,
         )
 
     def setup(self):
+        from ..mhmc import effective_sample_size, split_rhat
+
         if self.mode == Mode.CHANNEL:
             raise NotImplementedError("This interval works only for state tomography")
         if not self.use_new_estimate:
@@ -752,6 +762,7 @@ class MHMCStateInterval(ConfidenceInterval):
             scale = 1.0 if self.temper else float(np.sum(self.tmg.n_measurements))
             self.chain = MHMC(
                 lambda x: -scale * self.tmg._nll(x),
+                jump_distr=self.jump_distr,
                 step=self.step,
                 burn_steps=self.burn_steps,
                 dim=dim,
@@ -762,9 +773,18 @@ class MHMCStateInterval(ConfidenceInterval):
             )
             if self.adapt_step:
                 self.chain.adapt_step()
-        samples, self.acceptance_rate = self.chain.sample(
-            self.n_points, self.thinning, verbose=self.verbose
-        )
+        if self.n_chains > 1:
+            per_chain = -(-self.n_points // self.n_chains)
+            samples, self.acceptance_rate = self.chain.sample_chains(
+                per_chain, self.n_chains, self.thinning
+            )
+            chain_shape = samples.shape[:2]  # (n_chains, per_chain)
+            samples = samples.reshape(-1, samples.shape[-1])
+        else:
+            samples, self.acceptance_rate = self.chain.sample(
+                self.n_points, self.thinning, verbose=self.verbose
+            )
+            chain_shape = (1, samples.shape[0])
         dst_name = {hs_dst: "hs", trace_dst: "trace", if_dst: "if"}.get(self.tmg.dst)
         if dst_name is not None:
             dist = np.asarray(
@@ -783,6 +803,10 @@ class MHMCStateInterval(ConfidenceInterval):
             tr = np.trace(rho, axis1=-2, axis2=-1).real
             rho = rho / tr[..., None, None]
             dist = np.asarray([self.tmg.dst(Qobj(r), self.state) for r in rho])
+        # convergence diagnostics on the distance series
+        per_chain_dist = dist.reshape(chain_shape)
+        self.r_hat = split_rhat(per_chain_dist)
+        self.ess = effective_sample_size(per_chain_dist)
         dist = np.sort(dist)
         self.cl_to_dist = _interp1d(np.linspace(0, 1, len(dist)), dist)
 
@@ -811,6 +835,8 @@ class MHMCProcessInterval(ConfidenceInterval):
         return_samples: bool = False,
         key=None,
         adapt_step: bool = False,
+        n_chains: int = 1,
+        jump_distr=None,
     ):
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
@@ -819,10 +845,12 @@ class MHMCProcessInterval(ConfidenceInterval):
             states_physical=states_physical, states_init=states_init,
             use_new_estimate=use_new_estimate, channel=channel,
             verbose=verbose, return_samples=return_samples, key=key,
-            adapt_step=adapt_step,
+            adapt_step=adapt_step, n_chains=n_chains, jump_distr=jump_distr,
         )
 
     def setup(self):
+        from ..mhmc import effective_sample_size, split_rhat
+
         if self.mode == Mode.STATE:
             raise NotImplementedError(
                 "This interval works only for process tomography"
@@ -841,6 +869,7 @@ class MHMCProcessInterval(ConfidenceInterval):
             x_init = np.asarray(self.channel.choi.bloch, dtype=np.float64)
             self.chain = MHMC(
                 lambda x: -self.tmg._nll(x),
+                jump_distr=self.jump_distr,
                 step=self.step,
                 burn_steps=self.burn_steps,
                 dim=dim,
@@ -851,12 +880,25 @@ class MHMCProcessInterval(ConfidenceInterval):
             )
             if self.adapt_step:
                 self.chain.adapt_step(segment=100, max_rounds=8)
-        samples, self.acceptance_rate = self.chain.sample(
-            self.n_points, self.thinning, verbose=self.verbose
-        )
+        if self.n_chains > 1:
+            per_chain = -(-self.n_points // self.n_chains)
+            samples, self.acceptance_rate = self.chain.sample_chains(
+                per_chain, self.n_chains, self.thinning
+            )
+            chain_shape = samples.shape[:2]
+            samples = samples.reshape(-1, samples.shape[-1])
+        else:
+            samples, self.acceptance_rate = self.chain.sample(
+                self.n_points, self.thinning, verbose=self.verbose
+            )
+            chain_shape = (1, samples.shape[0])
         n2 = 2 * self.tmg.channel.n_qubits
         mats = np_bloch_to_matrix(samples, n2)
-        dist = np.sort(np.asarray(self.tmg.dst(mats, self.channel.choi.matrix)))
+        dist = np.asarray(self.tmg.dst(mats, self.channel.choi.matrix))
+        per_chain_dist = dist.reshape(chain_shape)
+        self.r_hat = split_rhat(per_chain_dist)
+        self.ess = effective_sample_size(per_chain_dist)
+        dist = np.sort(dist)
         conf_levels = np.linspace(0, 1, len(dist))
         if self.return_samples:
             self.cl_to_dist = _interp1d(conf_levels, dist)

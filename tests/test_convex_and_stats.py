@@ -148,3 +148,39 @@ def test_mhmc_normalized_update():
     )
     samples, _ = chain.sample(200)
     np.testing.assert_allclose(np.linalg.norm(samples, axis=1), 1.0, atol=1e-5)
+
+
+def test_mhmc_jump_distrs():
+    import jax
+    import jax.numpy as jnp
+
+    from quantpy_tpu.mhmc import MHMC
+
+    logpdf = lambda x: -0.5 * jnp.sum(x**2)
+    for distr in ["uniform", "laplace"]:
+        chain = MHMC(logpdf, jump_distr=distr, step=1.0, burn_steps=200, dim=2, key=8)
+        samples, rate = chain.sample(2000)
+        assert 0.05 < rate < 0.95, distr
+        np.testing.assert_allclose(samples.std(0), 1.0, rtol=0.2)
+    # custom traceable sampler
+    custom = lambda key, shape, dtype: 0.5 * jax.random.normal(key, shape, dtype)
+    chain = MHMC(logpdf, jump_distr=custom, step=1.0, burn_steps=200, dim=2, key=9)
+    samples, _ = chain.sample(2000)
+    np.testing.assert_allclose(samples.std(0), 1.0, rtol=0.2)
+    with pytest.raises(ValueError):
+        MHMC(logpdf, jump_distr="bogus")
+    with pytest.raises(NotImplementedError):
+        MHMC(logpdf, jump_distr=3.14)
+
+
+def test_mhmc_diagnostics():
+    from quantpy_tpu.mhmc import effective_sample_size, split_rhat
+
+    rng = np.random.default_rng(1)
+    mixed = rng.normal(size=(4, 500))
+    assert abs(split_rhat(mixed) - 1.0) < 0.05
+    # iid samples: ESS close to the actual count
+    assert effective_sample_size(mixed) > 1000
+    # badly separated chains
+    bad = mixed + np.arange(4)[:, None] * 5.0
+    assert split_rhat(bad) > 1.5

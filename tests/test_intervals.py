@@ -491,3 +491,33 @@ def test_mhmc_warm_start_reuses_chain(state_tmg):
     del iv.cl_to_dist
     iv(np.array([0.9]))
     assert iv.chain is chain1  # same chain continued, no re-burn
+
+
+def test_mhmc_state_interval_multichain(state_tmg):
+    iv = qt.MHMCStateInterval(
+        state_tmg, n_points=400, step=0.1, burn_steps=1500, thinning=4,
+        use_new_estimate=True, n_chains=4,
+    )
+    dist, _ = _check_monotone_interval(iv, np.linspace(0.05, 0.95, 10))
+    assert 0 < iv.acceptance_rate <= 1
+    assert np.isfinite(iv.r_hat) and iv.r_hat < 1.2  # chains mixed
+    assert iv.ess > 30
+    # distribution statistically matches the single-chain interval
+    iv1 = qt.MHMCStateInterval(
+        state_tmg, n_points=400, step=0.1, burn_steps=1500, thinning=4,
+        use_new_estimate=True, n_chains=1,
+    )
+    d1, _ = iv1(np.linspace(0.05, 0.95, 10))
+    med, med1 = float(dist[5]), float(np.asarray(d1)[5])
+    assert abs(med - med1) < 0.7 * max(med, med1)
+
+
+def test_mhmc_process_interval_multichain(process_tmg):
+    iv = qt.MHMCProcessInterval(
+        process_tmg, n_points=120, step=0.005, burn_steps=60,
+        use_new_estimate=True, n_chains=4,
+    )
+    d, _ = iv(np.array([0.5, 0.9]))
+    assert np.all(np.isfinite(np.asarray(d)))
+    assert np.isfinite(iv.r_hat)
+    assert iv.ess > 4
