@@ -357,11 +357,15 @@ class _PolytopeBase(ConfidenceInterval):
 
     def _solve(self, c, a_matrix, b_batch, lo_affine, scale):
         """Batched min/max of <c, x> over {A x <= b}; maps degenerate solves
-        to 1 like the reference (interval.py:321-329)."""
-        x, obj_min, viol_min = solve_lp_batch(c, a_matrix, b_batch, self.LP_ITERS)
-        x, obj_max_neg, viol_max = solve_lp_batch(
+        to 1 like the reference (interval.py:321-329). Surfaces the PDHG
+        iteration counts as `lp_iterations` (min-solve, max-solve)."""
+        x, obj_min, viol_min, it_min = solve_lp_batch(
+            c, a_matrix, b_batch, self.LP_ITERS
+        )
+        x, obj_max_neg, viol_max, it_max = solve_lp_batch(
             -np.asarray(c), a_matrix, b_batch, self.LP_ITERS
         )
+        self.lp_iterations = (int(it_min), int(it_max))
         obj_min = np.asarray(obj_min, dtype=np.float64)
         obj_max = -np.asarray(obj_max_neg, dtype=np.float64)
         bad = (np.asarray(viol_min) > 1e-3) | (np.asarray(viol_max) > 1e-3)
@@ -380,6 +384,12 @@ class PolytopeStateInterval(_PolytopeBase):
     def setup(self):
         if self.mode == Mode.CHANNEL:
             raise NotImplementedError("This interval works only for state tomography")
+        if self.tmg.povm_matrix is None:
+            raise NotImplementedError(
+                "polytope intervals need the dense POVM matrix (the LP "
+                "constraint rows); the tomograph is in kron-factored mode — "
+                "use moment/sugiyama/bootstrap intervals there"
+            )
         if self.target_state is None:
             self.target_state = self.tmg.state
         dim = 2**self.tmg.state.n_qubits

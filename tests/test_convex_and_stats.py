@@ -44,14 +44,29 @@ def test_lp_batch_vs_scipy(rng):
     a = np.vstack([a, -a])  # guarantee boundedness
     c = rng.normal(size=d)
     b_batch = np.stack([rng.uniform(0.5, 1.5, size=2 * k) for _ in range(5)])
-    x, obj, viol = solve_lp_batch(c, a, b_batch, n_iter=30000)
+    x, obj, viol, iters = solve_lp_batch(c, a, b_batch, n_iter=30000)
     obj = np.asarray(obj)
     viol = np.asarray(viol)
     assert np.all(viol < 1e-4)
+    assert 0 < int(iters) <= 30000
     for i in range(5):
         res = scipy.optimize.linprog(c, A_ub=a, b_ub=b_batch[i], bounds=(None, None))
         assert res.success
         np.testing.assert_allclose(obj[i], res.fun, atol=2e-3)
+
+
+def test_lp_batch_early_stop(rng):
+    """The duality-gap stop fires well before the iteration cap on an easy
+    problem, and a loose cap still reports its count."""
+    d, k = 4, 12
+    a = rng.normal(size=(k, d))
+    a = np.vstack([a, -a])
+    c = rng.normal(size=d)
+    b = rng.uniform(1.0, 2.0, size=(3, 2 * k))
+    x, obj, viol, iters = solve_lp_batch(c, a, b, n_iter=100000, tol=1e-8)
+    assert int(iters) < 100000  # stopped early on the gap criterion
+    res = scipy.optimize.linprog(c, A_ub=a, b_ub=b[0], bounds=(None, None))
+    np.testing.assert_allclose(np.asarray(obj)[0], res.fun, atol=1e-4)
 
 
 @needs_ref

@@ -521,3 +521,25 @@ def test_mhmc_process_interval_multichain(process_tmg):
     assert np.all(np.isfinite(np.asarray(d)))
     assert np.isfinite(iv.r_hat)
     assert iv.ess > 4
+
+
+@pytest.mark.slow
+def test_polytope_interval_f32_vs_x64(state_tmg):
+    """f32 (TPU working precision) polytope bounds agree with x64 — guards
+    against PDHG drift over long iteration counts at single precision."""
+    import jax
+
+    from quantpy_tpu.config import enable_x64
+
+    cl = np.linspace(0.3, 0.9, 6)
+    iv64 = qt.PolytopeStateInterval(state_tmg, n_points=40)
+    (fmin64, fmax64), _ = iv64(cl)
+    assert max(iv64.lp_iterations) <= iv64.LP_ITERS
+    enable_x64(False)
+    try:
+        iv32 = qt.PolytopeStateInterval(state_tmg, n_points=40)
+        (fmin32, fmax32), _ = iv32(cl)
+    finally:
+        enable_x64(True)
+    np.testing.assert_allclose(np.asarray(fmin32), np.asarray(fmin64), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(fmax32), np.asarray(fmax64), atol=5e-3)
