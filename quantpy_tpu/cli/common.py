@@ -7,6 +7,14 @@ example input.json:1-26):
   input_states  : (S, 4^n) bloch vectors (process only)
   conf_levels   : list of confidence levels (optional)
   target_state / target_process : bloch vector of the target (optional)
+
+Kron-mode state records (TPU-native extension for large qubit counts,
+where the dense POVM would be GBs): instead of `povm_matrix`, give
+  povm_kron     : (m1, p1, 4) single-qubit POVM block
+  n_qubits      : number of qubits
+  outcomes      : (m1^n, p1^n) counts with UNIFORM per-POVM shot totals
+and the whole pipeline (estimate + moment/sugiyama/bootstrap intervals)
+runs on the factored paths without materializing the design.
 """
 
 from __future__ import annotations
@@ -15,7 +23,11 @@ import json
 from argparse import ArgumentParser
 
 
-def build_parser(description: str) -> ArgumentParser:
+def build_parser(
+    description: str,
+    methods: tuple = ("lin", "mle", "mle-rhor", "mle-constr"),
+    intervals: tuple = ("moment", "sugiyama", "bootstrap", "mhmc", "polytope"),
+) -> ArgumentParser:
     parser = ArgumentParser(description=description)
     parser.add_argument(
         "-i", "--input", type=str, required=True, help="path to input data file"
@@ -26,6 +38,18 @@ def build_parser(description: str) -> ArgumentParser:
     parser.add_argument(
         "--no-ci", default=False, action="store_true",
         help="skip confidence intervals",
+    )
+    parser.add_argument(
+        "--method", type=str, default=methods[0], choices=list(methods),
+        help="point-estimation method",
+    )
+    parser.add_argument(
+        "--interval", type=str, default="moment", choices=list(intervals),
+        help="confidence-interval family for the radius/band",
+    )
+    parser.add_argument(
+        "--n-points", type=int, default=500,
+        help="resamples/samples for bootstrap/mhmc/polytope intervals",
     )
     return parser
 
@@ -39,6 +63,31 @@ def validate_record(doc: dict, kind: str) -> None:
     """Fail fast with actionable messages on malformed records (the numeric
     layers otherwise surface shape mismatches as einsum internals)."""
     import numpy as np
+
+    if kind == "state" and "povm_kron" in doc:
+        block = np.asarray(doc["povm_kron"], dtype=float)
+        if block.ndim != 3 or block.shape[-1] != 4:
+            raise ValueError(
+                "`povm_kron` must be a (m1, p1, 4) single-qubit POVM block; "
+                f"got {block.shape}"
+            )
+        if "n_qubits" not in doc:
+            raise ValueError("kron-mode records must give `n_qubits`")
+        n = int(doc["n_qubits"])
+        m1, p1, _ = block.shape
+        outcomes = np.asarray(doc["outcomes"], dtype=float)
+        if outcomes.shape != (m1**n, p1**n):
+            raise ValueError(
+                f"`outcomes` must be (m1^n, p1^n) = {(m1**n, p1**n)} for the "
+                f"kron design; got {outcomes.shape}"
+            )
+        totals = outcomes.sum(-1)
+        if not np.allclose(totals, totals[0]):
+            raise ValueError(
+                "kron-mode records need UNIFORM per-POVM shot totals (the "
+                "factored estimators exploit the product structure)"
+            )
+        return
 
     povm = np.asarray(doc.get("povm_matrix", None), dtype=object)
     if povm.ndim == 0 or np.asarray(doc["povm_matrix"]).ndim != 3:

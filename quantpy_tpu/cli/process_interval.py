@@ -5,6 +5,10 @@ document with `povm_matrix`, `input_states`, and per-input-state `outcomes`,
 builds a ProcessTomograph over the given input basis, injects the counts,
 and emits the Choi bloch vector plus (optionally) fidelity bands and
 Hilbert-Schmidt radii.
+
+TPU-native extensions over the reference script: `--method` selects the
+estimator (lifp/pgdb/states), `--interval` the CI family
+(moment/bootstrap/mhmc/polytope).
 """
 
 from __future__ import annotations
@@ -15,12 +19,37 @@ import numpy as np
 
 from ..channel import Channel, depolarizing
 from ..qobj import Qobj
-from ..tomography.interval import MomentFidelityProcessInterval, MomentInterval
+from ..tomography.interval import (
+    BootstrapProcessInterval,
+    MHMCProcessInterval,
+    MomentFidelityProcessInterval,
+    MomentInterval,
+    PolytopeProcessInterval,
+)
 from ..tomography.process import ProcessTomograph
 from .common import build_parser, emit, load_input, validate_record
 
 
-def run(input_data: dict, no_ci: bool = False) -> dict:
+def _radius_interval(tmg, name: str, method: str, n_points: int):
+    if name in ("moment", "polytope", "sugiyama"):
+        # polytope emits bands; sugiyama is state-only — moment fallback
+        return MomentInterval(tmg)
+    if name == "bootstrap":
+        return BootstrapProcessInterval(tmg, n_points=n_points, method=method)
+    if name == "mhmc":
+        return MHMCProcessInterval(
+            tmg, n_points=n_points, method=method, use_new_estimate=False
+        )
+    raise ValueError(f"Unknown interval family {name!r}")
+
+
+def run(
+    input_data: dict,
+    no_ci: bool = False,
+    method: str = "lifp",
+    interval: str = "moment",
+    n_points: int = 500,
+) -> dict:
     validate_record(input_data, "process")
     results = np.asarray(input_data["outcomes"], dtype=np.float64)
     povm_matrix = np.asarray(input_data["povm_matrix"], dtype=np.float64)
@@ -41,29 +70,44 @@ def run(input_data: dict, no_ci: bool = False) -> dict:
         tmg.tomographs.append(child)
 
     output: dict = {}
-    est = tmg.point_estimate(cptp=False)
+    est = tmg.point_estimate(method=method, cptp=False)
     output["process"] = [float(x) for x in est.choi.bloch]
     if no_ci:
         return output
 
+    conf_levels = np.asarray(input_data.get("conf_levels", [0.95]))
     if "target_process" in input_data:
         target = Channel(Qobj(np.asarray(input_data["target_process"])))
-        interval = MomentFidelityProcessInterval(tmg, target_process=target)
-        interval.setup()
-        (fmin, fmax), _ = interval(np.asarray(input_data["conf_levels"]))
+        if interval == "polytope":
+            band = PolytopeProcessInterval(
+                tmg, n_points=n_points, target_channel=target
+            )
+        else:
+            band = MomentFidelityProcessInterval(tmg, target_process=target)
+        (fmin, fmax), _ = band(conf_levels)
         output["fidelity_min"] = [float(x) for x in np.maximum(fmin, 0)]
         output["fidelity_max"] = [float(x) for x in np.minimum(fmax, 1)]
-    else:
-        interval = MomentInterval(tmg)
-        interval.setup()
-    dist = interval.cl_to_dist(np.asarray(input_data.get("conf_levels", [0.95])))
+
+    radius = _radius_interval(tmg, interval, method, n_points)
+    dist, _ = radius(conf_levels)
     output["hs_radius"] = [float(x) for x in np.atleast_1d(dist)]
     return output
 
 
 def main(args=None):
-    parsed = build_parser(__doc__).parse_args(args)
-    emit(run(load_input(parsed.input), no_ci=parsed.no_ci), parsed.output)
+    parsed = build_parser(
+        __doc__, methods=("lifp", "pgdb", "states")
+    ).parse_args(args)
+    emit(
+        run(
+            load_input(parsed.input),
+            no_ci=parsed.no_ci,
+            method=parsed.method,
+            interval=parsed.interval,
+            n_points=parsed.n_points,
+        ),
+        parsed.output,
+    )
 
 
 if __name__ == "__main__":

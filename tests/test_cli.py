@@ -103,3 +103,86 @@ def test_cli_rejects_malformed_records(tmp_path):
     p.write_text(json.dumps(doc))
     with pytest.raises(ValueError, match="povm_matrix"):
         state_interval.main(["-i", str(p)])
+
+
+@pytest.mark.parametrize("interval", ["sugiyama", "bootstrap", "mhmc", "polytope"])
+def test_state_cli_interval_selector(state_fixture, tmp_path, interval):
+    path, tmg = state_fixture
+    out_path = tmp_path / f"out_{interval}.json"
+    state_interval.main(
+        ["-i", str(path), "-o", str(out_path), "--interval", interval,
+         "--n-points", "64", "--method", "mle-rhor"]
+    )
+    out = json.loads(out_path.read_text())
+    r = np.asarray(out["hs_radius"])
+    assert r.shape == (3,)
+    assert np.all(np.isfinite(r)) and np.all(r >= 0)
+    fmin, fmax = np.asarray(out["fidelity_min"]), np.asarray(out["fidelity_max"])
+    assert np.all(fmin <= fmax + 1e-6)
+
+
+def test_state_cli_kron_record(tmp_path):
+    """A 5-qubit kron-mode record runs the full pipeline without ever
+    materializing the measurement matrix (round-2 plan item)."""
+    from quantpy_tpu.measurements import _single_qubit_preset
+    from quantpy_tpu.tomography import kron_core
+
+    import jax
+
+    n = 5
+    block = _single_qubit_preset("proj-set")
+    state = qt.GHZ(n)
+    counts = np.asarray(
+        kron_core.kron_simulate(
+            jax.random.key(55), block, np.asarray(state.bloch, np.float64), 2000.0
+        )
+    )
+    doc = {
+        "povm_kron": block.tolist(),
+        "n_qubits": n,
+        "outcomes": counts.astype(int).tolist(),
+        "target_state": np.asarray(state.bloch).tolist(),
+        "conf_levels": [0.5, 0.9],
+    }
+    p = tmp_path / "kron.json"
+    p.write_text(json.dumps(doc))
+    out_path = tmp_path / "kron_out.json"
+    state_interval.main(
+        ["-i", str(p), "-o", str(out_path), "--method", "mle-rhor",
+         "--interval", "bootstrap", "--n-points", "32"]
+    )
+    out = json.loads(out_path.read_text())
+    est = qt.Qobj(np.asarray(out["state"]))
+    assert float(qt.hs_dst(est, state)) < 0.2
+    assert np.all(np.isfinite(out["hs_radius"]))
+    fmin, fmax = np.asarray(out["fidelity_min"]), np.asarray(out["fidelity_max"])
+    assert np.all(fmin <= fmax + 1e-6)
+    # sugiyama + moment radii also work on the factored record
+    out2 = state_interval.run(doc, interval="sugiyama", method="lin")
+    assert np.all(np.isfinite(out2["hs_radius"]))
+    # mhmc needs the dense design: actionable error, not a crash
+    with pytest.raises(ValueError, match="mhmc"):
+        state_interval.run(doc, interval="mhmc")
+
+
+def test_process_cli_method_selector(tmp_path):
+    """--method pgdb/states on a synthesized 1-qubit QPT record."""
+    from quantpy_tpu.channel import depolarizing
+
+    tmg = qt.ProcessTomograph(depolarizing(0.35), key=71)
+    tmg.experiment(4000, "proj-set")
+    doc = {
+        "povm_matrix": tmg.tomographs[0].povm_matrix.tolist(),
+        "input_states": [np.asarray(s.bloch).tolist()
+                         for s in tmg.input_basis.elements],
+        "outcomes": [t.results.astype(int).tolist() for t in tmg.tomographs],
+        "target_process": np.asarray(depolarizing(0.35).choi.bloch).tolist(),
+        "conf_levels": [0.5, 0.9],
+    }
+    for method, interval in [("pgdb", "moment"), ("states", "bootstrap")]:
+        out = process_interval.run(
+            doc, method=method, interval=interval, n_points=16
+        )
+        choi = np.asarray(out["process"])
+        assert abs(choi[0] - 0.5) < 0.05  # TP coordinate
+        assert np.all(np.isfinite(out["hs_radius"]))
