@@ -128,37 +128,61 @@ def pauli_transfer_matrix(n_qubits: int) -> jnp.ndarray:
     return jnp.asarray(_pauli_transfer_np(n_qubits), dtype=cdtype())
 
 
+# Qubits are contracted in groups of this size by the factored transforms:
+# the cached dense group basis is (4^g, 2^g, 2^g) = (64, 8, 8) at g=3 (tiny),
+# while the einsum minor dimensions grow from 2/4 (which waste 32-64x of
+# every 128-lane TPU tile and made the 6-qubit MLE loop transpose-bound) to
+# 64/8. The math is identical (kron associativity); only the contraction
+# order changes.
+TRANSFORM_GROUP = 3
+
+
+def group_sizes(n_qubits: int, group: int = TRANSFORM_GROUP) -> tuple[int, ...]:
+    """Split n qubits into contraction groups of at most `group` qubits."""
+    full, rem = divmod(n_qubits, group)
+    return (group,) * full + ((rem,) if rem else ())
+
+
 def _pauli_flat(dtype) -> jnp.ndarray:
     """(4, 4) matrix P4[i, a*2+b] = Pauli_i[a, b]."""
     return jnp.asarray(_PAULI_1_NP.reshape(4, 4), dtype=dtype)
 
 
+def _group_basis_flat(g: int, dtype) -> jnp.ndarray:
+    """(4^g, 4^g) matrix B[i, a*2^g+b] = (g-qubit Pauli basis)_i[a, b]."""
+    return jnp.asarray(_pauli_basis_np(g).reshape(4**g, 4**g), dtype=dtype)
+
+
 def bloch_to_matrix(bloch: jnp.ndarray, n_qubits: int | None = None) -> jnp.ndarray:
     """Convert bloch vectors (..., 4^n) to matrices (..., 2^n, 2^n).
 
-    A = sum_i b_i P_i, computed as n per-qubit contractions — never
-    materializes the O(16^n) Pauli basis (replaces reference
-    quantpy/qobj.py:109-118 which loops over all 4^n basis matrices).
+    A = sum_i b_i P_i, computed as ceil(n/3) grouped contractions against
+    cached (64, 8, 8) group bases — never materializes the O(16^n) n-qubit
+    Pauli basis (replaces reference quantpy/qobj.py:109-118 which loops over
+    all 4^n basis matrices).
     """
     bloch = jnp.asarray(bloch)
     if n_qubits is None:
         n_qubits = n_qubits_from_dim(int(round(math.sqrt(bloch.shape[-1]))))
     n = n_qubits
     dim = 2**n
+    groups = group_sizes(n)
+    k = len(groups)
     batch_shape = bloch.shape[:-1]
     ct = cdtype()
-    p4 = _pauli_flat(ct)
-    t = bloch.astype(ct).reshape(batch_shape + (4,) * n)
+    t = bloch.astype(ct).reshape(batch_shape + tuple(4**g for g in groups))
     bdim = len(batch_shape)
-    for _ in range(n):
-        # contract the leading Pauli axis; result (a,b)-flat axis appended last
-        t = jnp.tensordot(t, p4, axes=[[bdim], [0]])
-    # t: batch + ((a1 b1), ..., (an bn)); split pairs and regroup to (a.., b..)
-    t = t.reshape(batch_shape + (2, 2) * n)
+    for g in groups:
+        # contract the leading group axis; flat (a, b) axis appended last
+        t = jnp.tensordot(t, _group_basis_flat(g, ct), axes=[[bdim], [0]])
+    # t: batch + ((a1 b1), ..., (ak bk)); split pairs and regroup to (a.., b..)
+    t = t.reshape(
+        batch_shape + sum(((2**g, 2**g) for g in groups), ())
+    )
     perm = (
         list(range(bdim))
-        + [bdim + 2 * k for k in range(n)]
-        + [bdim + 2 * k + 1 for k in range(n)]
+        + [bdim + 2 * j for j in range(k)]
+        + [bdim + 2 * j + 1 for j in range(k)]
     )
     return t.transpose(perm).reshape(batch_shape + (dim, dim))
 
@@ -166,25 +190,26 @@ def bloch_to_matrix(bloch: jnp.ndarray, n_qubits: int | None = None) -> jnp.ndar
 def matrix_to_bloch(matrix: jnp.ndarray) -> jnp.ndarray:
     """Convert matrices (..., 2^n, 2^n) to bloch vectors (..., 4^n) (real).
 
-    b_i = Re Tr(P_i A) / 2^n, factored per qubit (replaces reference
-    quantpy/qobj.py:126-135).
+    b_i = Re Tr(P_i A) / 2^n, contracted in 3-qubit groups (replaces
+    reference quantpy/qobj.py:126-135).
     """
     matrix = jnp.asarray(matrix, dtype=cdtype())
     dim = matrix.shape[-1]
     n = n_qubits_from_dim(dim)
+    groups = group_sizes(n)
+    k = len(groups)
     batch_shape = matrix.shape[:-2]
     bdim = len(batch_shape)
-    # Tr(P_i A) = sum_{ab} P_i[a, b] A[b, a]; arrange A as x[(a1 b1)...(an bn)]
+    # Tr(P_i A) = sum_{ab} P_i[a, b] A[b, a]; arrange A as x[(a1 b1)...(ak bk)]
     # with value A[b.., a..]
-    t = matrix.reshape(batch_shape + (2,) * (2 * n))
-    # axes: batch, b1..bn, a1..an -> batch, (a1, b1), (a2, b2), ...
+    t = matrix.reshape(batch_shape + tuple(2**g for g in groups) * 2)
+    # axes: batch, b1..bk, a1..ak -> batch, (a1, b1), (a2, b2), ...
     perm = list(range(bdim))
-    for k in range(n):
-        perm += [bdim + n + k, bdim + k]  # a_k then b_k
-    t = t.transpose(perm).reshape(batch_shape + (4,) * n)
-    p4 = _pauli_flat(cdtype())
-    for _ in range(n):
-        t = jnp.tensordot(t, p4, axes=[[bdim], [1]])
+    for j in range(k):
+        perm += [bdim + k + j, bdim + j]  # a_j then b_j
+    t = t.transpose(perm).reshape(batch_shape + tuple(4**g for g in groups))
+    for g in groups:
+        t = jnp.tensordot(t, _group_basis_flat(g, cdtype()), axes=[[bdim], [1]])
     return (t.real / dim).reshape(batch_shape + (4**n,)).astype(rdtype())
 
 

@@ -6,8 +6,11 @@ measurement matrix is a Kronecker power: at 6 qubits, proj-set is
 linear inversion over it takes ~45 s (BASELINE.md). This module exploits the
 factorization end to end:
 
-- probabilities p = (2^n/M) * (kron_n A1) bloch  -> an n-operand einsum
-  chain of per-qubit (m1, p1, 4) contractions, O(n * 6^n) work;
+- probabilities p = (2^n/M) * (kron_n A1) bloch  -> an einsum chain of
+  per-GROUP (3 qubits each: (27, 8, 64) for proj-set) contractions,
+  O(n) chain length; per-qubit radix-4 chains are avoided because their
+  2/4-sized minor dimensions waste 32-64x of every 128-lane TPU tile
+  (measured transpose/relayout-bound at 6 qubits);
 - the adjoint A^T c is the mirrored chain;
 - the linear-inversion Gram matrix factorizes: (kron A1)^T (kron A1) =
   kron(A1^T A1), so the normal-equation solve is n tiny 4x4 solves applied
@@ -32,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import rdtype
-from ..ops.paulis import bloch_to_matrix, matrix_to_bloch
+from ..ops.paulis import bloch_to_matrix, group_sizes, matrix_to_bloch
 from ..ops.sampling import sample_multinomial
 
 __all__ = [
@@ -80,32 +83,61 @@ def _solve_spec(n: int) -> str:
     return ",".join(operands) + "->z" + "".join(e)
 
 
+def _grouped_factors(povm1, n_qubits: int):
+    """Kron the per-qubit factor into per-GROUP factors (3 qubits a group).
+
+    The per-qubit einsum chain leaves every intermediate with minor
+    dimensions of 2/4 — wasting 32-64x of each 128-lane TPU tile (measured:
+    the 6-qubit MLE loop was transpose/relayout-bound). Grouped factors
+    (27, 8, 64) keep the same O(n)-chain structure with MXU-usable minors.
+    Returns (groups, factors): group sizes and the (m1^g, p1^g, 4^g) arrays.
+    """
+    povm1 = jnp.asarray(povm1, dtype=rdtype())
+    groups = group_sizes(n_qubits)
+    factors = []
+    for g in groups:
+        f = povm1
+        for _ in range(g - 1):
+            f = jnp.einsum("mpd,nqe->mnpqde", f, povm1).reshape(
+                f.shape[0] * povm1.shape[0],
+                f.shape[1] * povm1.shape[1],
+                f.shape[2] * povm1.shape[2],
+            )
+        factors.append(f)
+    return groups, factors
+
+
 def kron_probs(povm1, n_qubits: int, bloch):
     """Outcome probabilities 2^n * (kron povm1) . bloch, clipped to [0, 1].
 
     povm1: (m1, p1, 4); bloch: (..., 4^n). Returns (..., m1^n, p1^n).
     Matches state_core.experiment_probabilities on the materialized POVM.
     """
-    povm1 = jnp.asarray(povm1, dtype=rdtype())
     bloch = jnp.asarray(bloch, dtype=rdtype())
     n = n_qubits
     m1, p1, _ = povm1.shape
+    groups, factors = _grouped_factors(povm1, n)
+    k = len(groups)
     batch_shape = bloch.shape[:-1]
-    x = bloch.reshape((-1,) + (4,) * n)
-    out = jnp.einsum(_forward_spec(n), x, *([povm1] * n), optimize=True)
+    x = bloch.reshape((-1,) + tuple(4**g for g in groups))
+    out = jnp.einsum(_forward_spec(k), x, *factors, optimize=True)
     out = out.reshape(batch_shape + (m1**n, p1**n)) * (2**n)
     return jnp.clip(out, 0.0, 1.0)
 
 
 def kron_apply_adjoint(povm1, n_qubits: int, c):
     """(kron povm1)^T c for c of shape (..., m1^n, p1^n) -> (..., 4^n)."""
-    povm1 = jnp.asarray(povm1, dtype=rdtype())
     c = jnp.asarray(c, dtype=rdtype())
     n = n_qubits
-    m1, p1, _ = povm1.shape
+    groups, factors = _grouped_factors(povm1, n)
+    k = len(groups)
     batch_shape = c.shape[:-2]
-    x = c.reshape((-1,) + (m1,) * n + (p1,) * n)
-    out = jnp.einsum(_adjoint_spec(n), x, *([povm1] * n), optimize=True)
+    x = c.reshape(
+        (-1,)
+        + tuple(f.shape[0] for f in factors)
+        + tuple(f.shape[1] for f in factors)
+    )
+    out = jnp.einsum(_adjoint_spec(k), x, *factors, optimize=True)
     return out.reshape(batch_shape + (4**n,))
 
 
@@ -130,6 +162,18 @@ def _gram1_inv(povm1) -> jnp.ndarray:
     return jnp.linalg.inv(a1.T @ a1)
 
 
+def _grouped_gram_inv(povm1, groups):
+    """Per-group inverse Gram factors kron(G1^{-1}, ...) = (kron G1)^{-1}."""
+    g1 = _gram1_inv(povm1)
+    out = []
+    for g in groups:
+        f = g1
+        for _ in range(g - 1):
+            f = jnp.kron(f, g1)
+        out.append(f)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("n_qubits", "physical"))
 def kron_estimate_lin(counts, povm1, n_qubits: int, physical: bool = True):
     """Linear inversion on the factored design (uniform weights).
@@ -145,9 +189,10 @@ def kron_estimate_lin(counts, povm1, n_qubits: int, physical: bool = True):
     batch_shape = counts.shape[:-2]
     freq = counts / jnp.sum(counts, axis=(-2, -1), keepdims=True)
     rhs = kron_apply_adjoint(povm1, n, freq)  # (batch, 4^n), carries 1/M via f
-    g1 = _gram1_inv(povm1)
-    x = rhs.reshape((-1,) + (4,) * n)
-    sol = jnp.einsum(_solve_spec(n), x, *([g1] * n), optimize=True)
+    groups = group_sizes(n)
+    gram_invs = _grouped_gram_inv(povm1, groups)
+    x = rhs.reshape((-1,) + tuple(4**g for g in groups))
+    sol = jnp.einsum(_solve_spec(len(groups)), x, *gram_invs, optimize=True)
     # undo uniform weighting: A_w = A/M in both gram (1/M^2) and rhs (1/M)
     bloch = sol.reshape(batch_shape + (4**n,)) * m_total / (2**n)
     if physical:
