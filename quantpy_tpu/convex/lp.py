@@ -37,7 +37,7 @@ import numpy as np
 
 from ..config import rdtype
 
-__all__ = ["solve_lp_batch"]
+__all__ = ["solve_lp_batch", "solve_lp_batch_kron"]
 
 #: iterations per convergence check
 _CHUNK = 500
@@ -98,6 +98,102 @@ def _pdhg(c_batch, a_matrix, b_batch, tau, sigma, n_iter, tol):
         ),
         axis=-1,
     )
+    return x, obj, viol, iters
+
+
+@functools.partial(jax.jit, static_argnames=("n_qubits", "n_chunk"))
+def _pdhg_kron_chunk(
+    povm1, c_batch, b_batch, x, xbar, y, tau, sigma, n_qubits, n_chunk
+):
+    """Run `n_chunk` PDHG iterations with kron-factored matvecs and return
+    the updated state plus the convergence residuals.
+
+    The LP is the polytope-interval one: variables are the traceless bloch
+    components x = bloch[1:], the constraint operator is
+    A = 2^n * (kron povm1 rows)[:, 1:], applied as the factored forward /
+    adjoint chains from kron_core (never materialized — dense at 6 qubits
+    would be 0.8 GB x the delta grid). Host-chunked: the caller loops over
+    chunks and checks the residuals, keeping each device execution short
+    (docs/tpu_constraints.md: single executions are killed at ~60 s).
+    """
+    from ..tomography.kron_core import kron_adjoint_flat, kron_forward_flat
+
+    dim = 2**n_qubits
+
+    def fwd(v):
+        vfull = jnp.concatenate(
+            [jnp.zeros(v.shape[:-1] + (1,), v.dtype), v], axis=-1
+        )
+        return dim * kron_forward_flat(povm1, n_qubits, vfull)
+
+    def adj(w):
+        return dim * kron_adjoint_flat(povm1, n_qubits, w)[..., 1:]
+
+    def body(carry, _):
+        x, xbar, y = carry
+        y = jnp.maximum(0.0, y + sigma * (fwd(xbar) - b_batch))
+        x_new = x - tau * (c_batch + adj(y))
+        return (x_new, 2 * x_new - x, y), None
+
+    (x, xbar, y), _ = jax.lax.scan(body, (x, xbar, y), None, length=n_chunk)
+
+    ax = fwd(x)
+    viol = jnp.max(jnp.maximum(ax - b_batch, 0.0), axis=-1)
+    res_p = jnp.max(viol)
+    res_d = jnp.max(jnp.abs(c_batch + adj(y)))
+    obj = jnp.sum(c_batch * x, axis=-1)
+    d_obj = -jnp.sum(b_batch * y, axis=-1)
+    gap = jnp.max(jnp.abs(obj - d_obj))
+    scale = 1.0 + jnp.max(jnp.abs(obj)) + jnp.max(jnp.abs(d_obj))
+    return x, xbar, y, obj, viol, res_p, res_d, gap, scale
+
+
+def solve_lp_batch_kron(
+    c,
+    povm1,
+    n_qubits: int,
+    b_batch,
+    n_iter: int = 20000,
+    tol: float | None = None,
+):
+    """Factored twin of :func:`solve_lp_batch` for kron-mode tomographs.
+
+    Solves min <c, x> s.t. 2^n (kron povm1 rows)[:, 1:] x <= b for a batch
+    of right-hand sides without materializing the constraint matrix.
+    Same return signature as solve_lp_batch: (x, obj, viol, iters).
+    """
+    povm1 = jnp.asarray(povm1, dtype=rdtype())
+    b = jnp.asarray(b_batch, dtype=rdtype())
+    c = jnp.asarray(c, dtype=rdtype())
+    if c.ndim == 1:
+        c = jnp.broadcast_to(c, b.shape[:-1] + c.shape)
+    if tol is None:
+        tol = 1e-9 if np.dtype(rdtype()) == np.float64 else 3e-5
+    # ||A||_2 <= 2^n * sigma_max(A1)^n; dropping the trace column only
+    # shrinks the norm, so this keeps tau * sigma * ||A||^2 < 1
+    a1 = np.asarray(povm1, dtype=np.float64).reshape(-1, 4)
+    norm = 2.0**n_qubits * float(np.linalg.svd(a1, compute_uv=False)[0]) ** n_qubits
+    tau = jnp.asarray(0.9 / norm, dtype=rdtype())
+    sigma = jnp.asarray(0.9 / norm, dtype=rdtype())
+
+    b_scale = 1.0 + float(jnp.max(jnp.abs(b)))
+    c_scale = 1.0 + float(jnp.max(jnp.abs(c)))
+    x = jnp.zeros_like(c)
+    xbar = x
+    y = jnp.zeros_like(b)
+    iters = 0
+    obj = viol = None
+    while iters < n_iter:
+        x, xbar, y, obj, viol, res_p, res_d, gap, scale = _pdhg_kron_chunk(
+            povm1, c, b, x, xbar, y, tau, sigma, n_qubits, _CHUNK
+        )
+        iters += _CHUNK
+        if (
+            float(res_p) <= tol * b_scale
+            and float(res_d) <= tol * c_scale
+            and float(gap) <= tol * float(scale)
+        ):
+            break
     return x, obj, viol, iters
 
 

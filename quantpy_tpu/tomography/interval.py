@@ -26,7 +26,7 @@ from enum import Enum, auto
 import numpy as np
 import scipy.stats as sts
 
-from ..convex import linear_bounds_on_ball_slice, solve_lp_batch
+from ..convex import linear_bounds_on_ball_slice, solve_lp_batch, solve_lp_batch_kron
 from ..mhmc import MHMC, normalized_update
 from ..ops.cholesky import np_matrix_to_real_tril_vec
 from ..ops.geometry import hs_dst, if_dst, trace_dst
@@ -359,12 +359,15 @@ class _PolytopeBase(ConfidenceInterval):
         """Batched min/max of <c, x> over {A x <= b}; maps degenerate solves
         to 1 like the reference (interval.py:321-329). Surfaces the PDHG
         iteration counts as `lp_iterations` (min-solve, max-solve)."""
-        x, obj_min, viol_min, it_min = solve_lp_batch(
-            c, a_matrix, b_batch, self.LP_ITERS
+        return self._solve_with(
+            lambda cc: solve_lp_batch(cc, a_matrix, b_batch, self.LP_ITERS),
+            c, lo_affine, scale,
         )
-        x, obj_max_neg, viol_max, it_max = solve_lp_batch(
-            -np.asarray(c), a_matrix, b_batch, self.LP_ITERS
-        )
+
+    def _solve_with(self, solver, c, lo_affine, scale):
+        """Shared min/max post-processing over a one-sided LP `solver`."""
+        x, obj_min, viol_min, it_min = solver(c)
+        x, obj_max_neg, viol_max, it_max = solver(-np.asarray(c))
         self.lp_iterations = (int(it_min), int(it_max))
         obj_min = np.asarray(obj_min, dtype=np.float64)
         obj_max = -np.asarray(obj_max_neg, dtype=np.float64)
@@ -384,11 +387,11 @@ class PolytopeStateInterval(_PolytopeBase):
     def setup(self):
         if self.mode == Mode.CHANNEL:
             raise NotImplementedError("This interval works only for state tomography")
-        if self.tmg.povm_matrix is None:
+        kron_mode = self.tmg.povm_matrix is None
+        if kron_mode and getattr(self.tmg, "povm_kron", None) is None:
             raise NotImplementedError(
-                "polytope intervals need the dense POVM matrix (the LP "
-                "constraint rows); the tomograph is in kron-factored mode — "
-                "use moment/sugiyama/bootstrap intervals there"
+                "polytope intervals need a measurement design (dense or "
+                "kron-factored); run experiment() or set results first"
             )
         if self.target_state is None:
             self.target_state = self.tmg.state
@@ -398,23 +401,49 @@ class PolytopeStateInterval(_PolytopeBase):
             self.EPS,
             1 - self.EPS,
         )
-        m = self.tmg.povm_matrix.shape[0]
-        povm_flat = (
-            self.tmg.povm_matrix
-            * self.tmg.n_measurements[:, None, None]
-            / self.tmg.n_measurements.sum()
-        ).reshape(-1, self.tmg.povm_matrix.shape[-1]) * m
-        a_matrix = povm_flat[:, 1:] * dim
-        c = np.asarray(self.target_state.bloch[1:], dtype=np.float64)
+        if kron_mode:
+            # kron-factored design (uniform shots): the LP constraint matrix
+            # 2^n * rows[:, 1:] is never materialized — solve_lp_batch_kron
+            # applies it as the factored forward/adjoint chains. Weighted
+            # row scaling reduces to the identity here (uniform shots:
+            # n_m / sum * m == 1), matching the dense branch below.
+            from . import kron_core
+
+            row0 = kron_core.kron_row_component(
+                self.tmg.povm_kron, self.tmg.state.n_qubits
+            )
+            c = np.asarray(self.target_state.bloch[1:], dtype=np.float64)
+        else:
+            m = self.tmg.povm_matrix.shape[0]
+            povm_flat = (
+                self.tmg.povm_matrix
+                * self.tmg.n_measurements[:, None, None]
+                / self.tmg.n_measurements.sum()
+            ).reshape(-1, self.tmg.povm_matrix.shape[-1]) * m
+            a_matrix = povm_flat[:, 1:] * dim
+            row0 = povm_flat[:, 0]
+            c = np.asarray(self.target_state.bloch[1:], dtype=np.float64)
 
         max_delta = float(count_delta(1 - 1e-7, freq, self.tmg.n_measurements))
         min_delta = float(count_delta(0.0, freq, self.tmg.n_measurements))
         deltas = np.linspace(min_delta, max_delta, self.n_points)
         b_batch = (
             np.clip(freq.reshape(-1)[None, :] + deltas[:, None], self.EPS, 1 - self.EPS)
-            - povm_flat[None, :, 0]
+            - row0[None, :]
         )
-        dist_min, dist_max = self._solve(c, a_matrix, b_batch, 1 / dim, dim)
+        if kron_mode:
+            dist_min, dist_max = self._solve_with(
+                lambda cc: solve_lp_batch_kron(
+                    cc,
+                    self.tmg.povm_kron,
+                    self.tmg.state.n_qubits,
+                    b_batch,
+                    self.LP_ITERS,
+                ),
+                c, 1 / dim, dim,
+            )
+        else:
+            dist_min, dist_max = self._solve(c, a_matrix, b_batch, 1 / dim, dim)
         conf = np.asarray(count_confidence(deltas, freq, self.tmg.n_measurements))
         self.cl_to_dist_min = _interp1d(conf, dist_min)
         self.cl_to_dist_max = _interp1d(conf, dist_max)

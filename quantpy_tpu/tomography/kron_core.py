@@ -41,6 +41,9 @@ from ..ops.sampling import sample_multinomial
 __all__ = [
     "kron_probs",
     "kron_apply_adjoint",
+    "kron_forward_flat",
+    "kron_adjoint_flat",
+    "kron_row_component",
     "kron_simulate",
     "kron_estimate_lin",
     "kron_estimate_mle_rhor",
@@ -154,6 +157,49 @@ def kron_simulate(key, povm1, bloch, n_shots):
     probs = kron_probs(povm1, n, bloch)
     n_arr = jnp.full(probs.shape[:-1], n_shots, dtype=rdtype())
     return sample_multinomial(key, n_arr, probs)
+
+
+def kron_forward_flat(povm1, n_qubits: int, bloch):
+    """Raw (kron povm1) @ bloch with rows flattened: (..., m1^n * p1^n).
+
+    Unlike :func:`kron_probs` there is no 2^n scaling and no clipping —
+    this is the plain linear operator, the matvec the LP/PDHG layer needs
+    (dense twin: povm_matrix.reshape(-1, 4^n) @ bloch).
+    """
+    bloch = jnp.asarray(bloch, dtype=rdtype())
+    n = n_qubits
+    m1, p1, _ = povm1.shape
+    groups, factors = _grouped_factors(povm1, n)
+    batch_shape = bloch.shape[:-1]
+    x = bloch.reshape((-1,) + tuple(4**g for g in groups))
+    out = jnp.einsum(_forward_spec(len(groups)), x, *factors, optimize=True)
+    return out.reshape(batch_shape + ((m1 * p1) ** n,))
+
+
+def kron_adjoint_flat(povm1, n_qubits: int, c):
+    """(kron povm1)^T c for flat c of shape (..., m1^n * p1^n) -> (..., 4^n)."""
+    c = jnp.asarray(c, dtype=rdtype())
+    m1, p1, _ = povm1.shape
+    return kron_apply_adjoint(
+        povm1, n_qubits, c.reshape(c.shape[:-1] + (m1**n_qubits, p1**n_qubits))
+    )
+
+
+def kron_row_component(povm1, n_qubits: int, component: int = 0) -> np.ndarray:
+    """One bloch component of every flattened design row: (m1^n * p1^n,).
+
+    Row (m-multi, p-multi) is the kron of per-qubit rows, so its
+    `component`-th entry factorizes into a product of per-qubit entries;
+    used for the LP right-hand sides (dense twin: povm_flat[:, component]).
+    Only component 0 (the trace column) is meaningful per-qubit-wise."""
+    assert component == 0
+    t = np.asarray(povm1, dtype=np.float64)[:, :, 0]  # (m1, p1)
+    out = t
+    for _ in range(n_qubits - 1):
+        out = np.einsum("mp,nq->mnpq", out, t).reshape(
+            out.shape[0] * t.shape[0], out.shape[1] * t.shape[1]
+        )
+    return out.reshape(-1)
 
 
 def _gram1_inv(povm1) -> jnp.ndarray:

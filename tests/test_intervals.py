@@ -263,6 +263,35 @@ def test_polytope_state_interval(state_tmg):
     del true_f
 
 
+def test_polytope_state_interval_kron_parity(state_tmg, monkeypatch):
+    """Kron-mode polytope CI == dense-mode polytope CI on identical data
+    (the factored PDHG applies the same constraint operator)."""
+    monkeypatch.setattr(qt.StateTomograph, "DENSE_POVM_MAX_ELEMENTS", 1)
+    tmg_k = qt.StateTomograph(qt.GHZ(2), key=21)
+    tmg_k.experiment(3000, "proj-set")
+    assert tmg_k.povm_matrix is None and tmg_k.povm_kron is not None
+    tmg_k.results = np.asarray(state_tmg.results).copy()
+
+    levels = np.linspace(0.2, 0.9, 8)
+    (dmin, dmax), _ = qt.PolytopeStateInterval(state_tmg, n_points=40)(levels)
+    (kmin, kmax), _ = qt.PolytopeStateInterval(tmg_k, n_points=40)(levels)
+    np.testing.assert_allclose(kmin, dmin, atol=2e-5)
+    np.testing.assert_allclose(kmax, dmax, atol=2e-5)
+
+
+def test_polytope_kron_6qubit_smoke():
+    """Structural 6-qubit run on the factored LP path (nothing dense is
+    ever materialized); tiny grid/iteration budget to stay CPU-fast."""
+    tmg = qt.StateTomograph(qt.GHZ(6), key=93)
+    tmg.experiment(2000, "proj-set")
+    iv = qt.PolytopeStateInterval(tmg, n_points=3)
+    iv.LP_ITERS = 500
+    (dmin, dmax), _ = iv(np.array([0.5, 0.9]))
+    dmin, dmax = np.asarray(dmin), np.asarray(dmax)
+    assert dmin.shape == (2,) and np.all(np.isfinite(dmin))
+    assert np.all(dmin <= dmax + 1e-6)
+
+
 def test_polytope_process_interval(process_tmg):
     iv = qt.PolytopeProcessInterval(process_tmg, n_points=30)
     (fmin, fmax), _ = iv(np.linspace(0.2, 0.9, 5))
