@@ -185,6 +185,22 @@ def kron_adjoint_flat(povm1, n_qubits: int, c):
     )
 
 
+def kron_nll_tril(tril_vec, povm1, n_qubits: int, freq_flat, m_total: int):
+    """NLL of a Cholesky parameter vector on the kron-factored design.
+
+    Identical numbers to state_core.nll_tril on the materialized POVM with
+    uniform row weights 1/m (the only weighting the kron path supports);
+    probabilities run through the factored forward chain. Differentiable —
+    used by the MHMC state interval at 6+ qubits."""
+    from .state_core import real_tril_vec_to_matrix
+
+    rho = real_tril_vec_to_matrix(tril_vec, 2**n_qubits)
+    tr = jnp.trace(rho, axis1=-2, axis2=-1).real
+    bloch = matrix_to_bloch(rho) / tr[..., None]
+    probs = kron_forward_flat(povm1, n_qubits, bloch) * (2**n_qubits / m_total)
+    return -jnp.sum(freq_flat * jnp.log(probs + _NLL_EPS), axis=-1)
+
+
 def kron_row_component(povm1, n_qubits: int, component: int = 0) -> np.ndarray:
     """One bloch component of every flattened design row: (m1^n * p1^n,).
 

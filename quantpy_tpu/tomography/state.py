@@ -273,16 +273,26 @@ class StateTomograph:
 
     def _nll(self, tril_vec):
         """NLL of a Cholesky parameter vector under the current data
-        (reference state.py:217-229); used by MHMC intervals."""
+        (reference state.py:217-229); used by MHMC intervals. On the
+        kron-factored path the probabilities run through the factored
+        forward chain (uniform row weights 1/m), so MHMC sampling works at
+        6+ qubits without materializing the design."""
         import jax.numpy as jnp
 
         from ..config import rdtype
 
-        a = state_core.weighted_povm_flat(self.povm_matrix, self.n_measurements)
         freq = self.flat_results / self.flat_results.sum()
-        return state_core.nll_tril(
-            jnp.asarray(tril_vec, dtype=rdtype()),
-            a,
-            jnp.asarray(freq, dtype=rdtype()),
-            self.state.n_qubits,
-        )
+        freq = jnp.asarray(freq, dtype=rdtype())
+        tril_vec = jnp.asarray(tril_vec, dtype=rdtype())
+        if self.povm_matrix is None and getattr(self, "povm_kron", None) is not None:
+            from . import kron_core
+
+            return kron_core.kron_nll_tril(
+                tril_vec,
+                jnp.asarray(self.povm_kron, dtype=rdtype()),
+                self.state.n_qubits,
+                freq,
+                self._results.shape[0],
+            )
+        a = state_core.weighted_povm_flat(self.povm_matrix, self.n_measurements)
+        return state_core.nll_tril(tril_vec, a, freq, self.state.n_qubits)

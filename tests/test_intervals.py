@@ -341,6 +341,33 @@ def test_mhmc_state_interval(state_tmg):
     assert dist[-1] < 0.5
 
 
+def test_mhmc_kron_nll_parity(state_tmg, monkeypatch):
+    """Kron-mode _nll == dense-mode _nll on identical data (the factored
+    forward chain applies the same weighted design)."""
+    monkeypatch.setattr(qt.StateTomograph, "DENSE_POVM_MAX_ELEMENTS", 1)
+    tmg_k = qt.StateTomograph(qt.GHZ(2), key=21)
+    tmg_k.experiment(3000, "proj-set")
+    tmg_k.results = np.asarray(state_tmg.results).copy()
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        x = rng.normal(size=16)
+        np.testing.assert_allclose(
+            float(tmg_k._nll(x)), float(state_tmg._nll(x)), rtol=1e-10
+        )
+
+
+def test_mhmc_state_interval_kron_mode(monkeypatch):
+    """MHMC sampling works on the kron-factored path (no dense design)."""
+    monkeypatch.setattr(qt.StateTomograph, "DENSE_POVM_MAX_ELEMENTS", 1)
+    tmg = qt.StateTomograph(qt.GHZ(2), key=94)
+    tmg.experiment(3000, "proj-set")
+    tmg.point_estimate("mle")
+    iv = qt.MHMCStateInterval(tmg, n_points=200, step=0.01, burn_steps=200)
+    dist, _ = _check_monotone_interval(iv, np.linspace(0.05, 0.95, 10))
+    assert 0 < iv.acceptance_rate <= 1
+    assert dist[-1] < 0.6
+
+
 def test_mhmc_process_interval(process_tmg):
     iv = qt.MHMCProcessInterval(
         process_tmg, n_points=100, step=0.005, burn_steps=100,
