@@ -108,6 +108,20 @@ def main():
         r.block_until_ready()
         log(f"secondary: 6-qubit linear inversion {1000 * (time.time() - t0):.1f} ms "
             "(reference ~45 s)")
+
+        def run6(key):
+            return kron_core.kron_bootstrap_distances(
+                key, r, povm1, 6, 10_000.0,
+                n_points=256, method="mle", dst="hs", max_iter=60,
+            )
+
+        d6 = run6(jax.random.key(60))
+        d6.block_until_ready()  # compile
+        t0 = time.time()
+        d6 = run6(jax.random.key(61))
+        d6.block_until_ready()
+        log(f"secondary: 6-qubit MLE bootstrap {256 / (time.time() - t0):.0f} rec/s "
+            "(256 resamples; round-1 per-qubit chains: ~8.5 rec/s)")
     except Exception as e:  # pragma: no cover - informational only
         log(f"secondary metric skipped: {e}")
 

@@ -138,8 +138,14 @@ TRANSFORM_GROUP = 3
 
 
 def group_sizes(n_qubits: int, group: int = TRANSFORM_GROUP) -> tuple[int, ...]:
-    """Split n qubits into contraction groups of at most `group` qubits."""
+    """Split n qubits into contraction groups of at most `group` qubits.
+
+    A remainder of 1 is folded into the last full group as (2, 2) instead
+    of (3, 1): a size-1 group would reintroduce the radix-4 minor
+    dimensions the grouping exists to avoid."""
     full, rem = divmod(n_qubits, group)
+    if rem == 1 and full >= 1:
+        return (group,) * (full - 1) + (2, 2)
     return (group,) * full + ((rem,) if rem else ())
 
 

@@ -5,6 +5,7 @@ from .mesh import (
     povm_sharded_probabilities,
     sharded_bootstrap_distances,
     sharded_coverage,
+    sharded_kron_bootstrap_distances,
     sharded_process_bootstrap_distances,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "povm_sharded_probabilities",
     "sharded_bootstrap_distances",
     "sharded_coverage",
+    "sharded_kron_bootstrap_distances",
     "sharded_process_bootstrap_distances",
 ]

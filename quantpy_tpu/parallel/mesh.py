@@ -30,6 +30,7 @@ from ..tomography import bootstrap_core
 __all__ = [
     "make_mesh",
     "sharded_bootstrap_distances",
+    "sharded_kron_bootstrap_distances",
     "sharded_process_bootstrap_distances",
     "sharded_coverage",
     "povm_sharded_probabilities",
@@ -97,6 +98,59 @@ def sharded_bootstrap_distances(
         jnp.asarray(bloch_est, dtype=rdtype()),
         jnp.asarray(povm_matrix, dtype=rdtype()),
         jnp.asarray(n_measurements, dtype=rdtype()),
+    )
+
+
+def sharded_kron_bootstrap_distances(
+    mesh: Mesh,
+    key,
+    bloch_est,
+    povm1,
+    n_qubits: int,
+    n_shots,
+    n_points: int,
+    method: str = "lin",
+    dst: str = "hs",
+    max_iter: int = 100,
+):
+    """Kron-factored bootstrap data-parallel over the mesh — the multi-chip
+    path for the 6+ qubit designs whose measurement matrix is never
+    materialized. Per-device program = kron_core.kron_bootstrap_distances
+    on an n_points/n_dev shard; only the final distance gather rides ICI.
+    """
+    from ..tomography import kron_core
+
+    n_dev = mesh.devices.size
+    if n_points % n_dev:
+        raise ValueError(f"n_points={n_points} must divide by {n_dev} devices")
+    per_dev = n_points // n_dev
+    keys = jax.random.split(key, n_dev)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(), P()),
+        out_specs=P(BATCH_AXIS),
+        check_vma=False,  # multinomial's internal while_loop carries
+        # device-varying state the VMA checker cannot type
+    )
+    def run(keys_shard, bloch_est, povm1):
+        return kron_core.kron_bootstrap_distances(
+            keys_shard[0],
+            bloch_est,
+            povm1,
+            n_qubits,
+            n_shots,
+            n_points=per_dev,
+            method=method,
+            dst=dst,
+            max_iter=max_iter,
+        )
+
+    return jax.jit(run)(
+        keys,
+        jnp.asarray(bloch_est, dtype=rdtype()),
+        jnp.asarray(povm1, dtype=rdtype()),
     )
 
 

@@ -263,6 +263,21 @@ def test_polytope_state_interval(state_tmg):
     del true_f
 
 
+def test_moment_fidelity_kron_mode(monkeypatch):
+    """MomentFidelityStateInterval runs on the kron-factored path (the
+    ball-slice bound is design-independent; the radius comes from the
+    factored moment machinery)."""
+    monkeypatch.setattr(qt.StateTomograph, "DENSE_POVM_MAX_ELEMENTS", 1)
+    tmg = qt.StateTomograph(qt.GHZ(3), key=50)
+    tmg.experiment(3000, "proj-set")
+    assert tmg.povm_matrix is None
+    iv = qt.MomentFidelityStateInterval(tmg, target_state=qt.GHZ(3))
+    (fmin, fmax), _ = iv(np.array([0.5, 0.9]))
+    fmin, fmax = np.asarray(fmin), np.asarray(fmax)
+    assert np.all(np.isfinite(fmin)) and np.all(fmin <= fmax)
+    assert fmin[0] > 0.9  # 3000-shot GHZ data pins fidelity near 1
+
+
 def test_polytope_state_interval_kron_parity(state_tmg, monkeypatch):
     """Kron-mode polytope CI == dense-mode polytope CI on identical data
     (the factored PDHG applies the same constraint operator)."""

@@ -42,7 +42,7 @@ def random_hermitian(rng, d, batch=()):
     return (a + np.swapaxes(a.conj(), -1, -2)) / 2
 
 
-@pytest.mark.parametrize("n", [1, 2, 3, 4])
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7])
 def test_bloch_matrix_roundtrip(rng, n):
     rho = random_density(rng, n)
     b = matrix_to_bloch(rho)

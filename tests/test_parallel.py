@@ -58,6 +58,34 @@ def test_sharded_bootstrap_matches_statistics(design, method):
     assert abs(np.median(d_sharded) - np.median(d_single)) < 0.05
 
 
+def test_sharded_kron_bootstrap(design):
+    """Kron-factored bootstrap sharded over the mesh matches the
+    single-device kron bootstrap statistically."""
+    from quantpy_tpu.measurements import _single_qubit_preset
+    from quantpy_tpu.parallel import sharded_kron_bootstrap_distances
+    from quantpy_tpu.tomography import kron_core
+
+    tmg, est = design
+    n = tmg.state.n_qubits
+    povm1 = _single_qubit_preset("proj-set")
+    mesh = make_mesh()
+    d_sharded = np.asarray(
+        sharded_kron_bootstrap_distances(
+            mesh, jax.random.key(3), est.bloch, povm1, n, 1000.0,
+            n_points=64, method="mle",
+        )
+    )
+    assert d_sharded.shape == (64,)
+    assert np.all(np.isfinite(d_sharded)) and np.all(d_sharded >= 0)
+    d_single = np.asarray(
+        kron_core.kron_bootstrap_distances(
+            jax.random.key(4), est.bloch, povm1, n, 1000.0,
+            n_points=64, method="mle",
+        )
+    )
+    assert abs(np.median(d_sharded) - np.median(d_single)) < 0.05
+
+
 def test_sharded_bootstrap_validates_divisibility(design):
     tmg, est = design
     mesh = make_mesh()
