@@ -682,6 +682,10 @@ class BootstrapProcessInterval(ConfidenceInterval):
                     else process_core.estimate_pgdb_factored
                 )
                 return pgdb(c, input_blochs_t, povm, n_meas)
+            if self.method == "dys":
+                return process_core.estimate_dys_factored(
+                    c, input_blochs_t, povm, n_meas
+                )
             if self.method == "states":
                 from . import state_core
                 from ..ops.cplx import to_pair

@@ -32,6 +32,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import rdtype
 from ..ops.paulis import bloch_to_matrix, matrix_to_bloch
@@ -175,8 +176,22 @@ def cp_project_bloch(choi_bloch):
     return matrix_to_bloch(rho)
 
 
+def default_cptp_tol(tol: float | None = None) -> float:
+    """Dykstra tolerance floored at working precision (f32 on TPU).
+
+    The stop criterion is the SQUARED correction increment, so the floor
+    scales as eps^1.5 (measured at 3 qubits on TPU: a 100*eps floor left a
+    1.8e-2 trace-preservation error; eps^1.5 ~ 4e-11 converges to TP error
+    ~1e-4 in a few hundred extra iterations). A raw sub-floor tolerance in
+    f32 silently burns the full iteration budget on every call (measured:
+    the 4-qubit process bootstrap ran 2000 Dykstra iterations per resample
+    chasing 1e-11)."""
+    eps = float(np.finfo(np.dtype(rdtype())).eps)
+    return max(eps**1.5, 0.0 if tol is None else tol)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def cptp_project_bloch(choi_bloch, max_iter: int = 2000, tol: float = 1e-11):
+def cptp_project_bloch(choi_bloch, max_iter: int = 2000, tol: float | None = None):
     """Dykstra alternating projections onto CPTP, in bloch space, batched,
     under lax.while_loop.
 
@@ -195,6 +210,10 @@ def cptp_project_bloch(choi_bloch, max_iter: int = 2000, tol: float = 1e-11):
     """
     x0 = jnp.asarray(choi_bloch, dtype=rdtype())
     zeros = jnp.zeros_like(x0)
+    # floor at working precision even for traced tolerances
+    tol = jnp.maximum(
+        jnp.asarray(0.0 if tol is None else tol, rdtype()), default_cptp_tol()
+    )
 
     def cond(carry):
         _, _, _, it, crit = carry
@@ -590,6 +609,91 @@ def estimate_pgdb_factored(
     )
     # project the returned iterate (x + alpha*d is not exactly CPTP)
     return cptp_project_bloch(x, cptp_iter, cptp_tol)
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def dys_factored_chunk(z, flat, b, w, gamma, n_steps: int):
+    """`n_steps` Davis-Yin three-operator-splitting iterations, jitted.
+
+    Solves min NLL(x) + I_CP(x) + I_TP(x) with ONE eigenvalue projection
+    per iteration (arXiv:1504.01032):
+
+        x_g = P_CP(z)
+        x_h = P_TP(2 x_g - z - gamma * grad NLL(x_g))
+        z  += x_h - x_g
+
+    versus pgdb's nested Dykstra (~1000 eigh calls per gradient step,
+    process.py:237-257 in the reference). Returns (z, x_g, nll(x_g)) so a
+    host loop can chunk the iteration under the axon runtime's ~60 s
+    single-execution cap and stop on the NLL plateau.
+    """
+
+    def body(z, _):
+        x_g = cp_project_bloch(z)
+        p = _pgdb_forward(x_g, b, w)
+        c = jnp.where(p < 1.0, flat / jnp.clip(p, _CP_EPS, None), 0.0)
+        grad = -_pgdb_adjoint(c, b, w)
+        x_h = tp_project_bloch(2 * x_g - z - gamma * grad)
+        return z + (x_h - x_g), None
+
+    z, _ = jax.lax.scan(body, z, None, length=n_steps)
+    x_g = cp_project_bloch(z)
+    return z, x_g, _pgdb_nll(x_g, flat, b, w)
+
+
+def estimate_dys_factored(
+    counts,
+    input_blochs_t,
+    povm_matrix,
+    n_measurements,
+    max_iter: int = 10000,
+    tol: float | None = None,
+    chunk: int = 500,
+    gamma: float | None = None,
+    init_bloch=None,
+):
+    """Process MLE via Davis-Yin splitting with factored matvecs.
+
+    Same constrained optimum as pgdb (the CPTP maximum-likelihood Choi
+    matrix) at a fraction of the cost: one 2^2n-dim eigh per iteration
+    instead of a Dykstra loop per gradient step — measured 26x on 4-qubit
+    QPT (docs/benchmarks.md). Host-chunked (`chunk` iterations per device
+    call); stops when the per-iteration NLL decrease falls below `tol`.
+
+    gamma is the splitting step size (must be < 2/L for the NLL gradient's
+    local Lipschitz constant L); the default 0.5/4^n tracks the pgdb step
+    mu = 1.5/4^n conservatively and was validated against the pgdb fixed
+    point at 2 qubits (equal NLL to 1e-9).
+    """
+    import numpy as np
+
+    flat, b, w, x0 = pgdb_prepare(
+        counts, input_blochs_t, povm_matrix, n_measurements
+    )
+    d1 = b.shape[-1]
+    if gamma is None:
+        gamma = 0.5 / d1
+    if tol is None:
+        # mean NLL decrease per iteration at the stopping plateau; the f32
+        # floor is set by NLL round-off (~1e-7 per readback)
+        tol = 1e-13 if np.dtype(rdtype()) == np.float64 else 1e-9
+    z = (
+        jnp.broadcast_to(jnp.asarray(init_bloch, dtype=rdtype()), x0.shape)
+        if init_bloch is not None
+        else x0
+    )
+    gamma = jnp.asarray(gamma, dtype=rdtype())
+    last_nll = np.inf
+    x_g = z
+    for _ in range(0, max_iter, chunk):
+        z, x_g, nll = dys_factored_chunk(z, flat, b, w, gamma, chunk)
+        nll_now = float(np.max(np.asarray(nll)))
+        if last_nll - nll_now <= tol * chunk:
+            break
+        last_nll = nll_now
+    # x_g is CP by construction; a final short Dykstra squares away the
+    # (already small) TP residual
+    return cptp_project_bloch(x_g, 200)
 
 
 def estimate_pgdb_factored_host(

@@ -137,6 +137,47 @@ def test_pgdb_beats_or_matches_lifp_nll():
     assert choi_dist(est_pgdb, true) < 0.1
 
 
+def test_dys_matches_pgdb_mle():
+    """Davis-Yin splitting reaches the same CPTP maximum-likelihood point
+    as projected-gradient pgdb (one eigh per iteration vs a nested Dykstra
+    per gradient step)."""
+    true = amplitude_damping(0.5)
+    tmg = ProcessTomograph(true, key=7)
+    tmg.experiment(5000, "proj-set")
+    est_pgdb = tmg.point_estimate("pgdb", n_iter=300)
+    # compare at EQUAL feasibility: pgdb's returned point violates TP by
+    # ~2e-6 (Dykstra tolerance), which lowers its raw NLL below the true
+    # constrained optimum; dys's fixed point is TP to machine precision
+    import jax.numpy as jnp
+
+    from quantpy_tpu.tomography import process_core
+
+    pgdb_tp = np.asarray(
+        process_core.tp_project_bloch(jnp.asarray(est_pgdb.choi.bloch)),
+        dtype=np.float64,
+    )
+    nll_pgdb = float(tmg._nll(pgdb_tp))
+    est_dys = tmg.point_estimate("dys")
+    nll_dys = float(tmg._nll(est_dys.choi.bloch))
+    assert nll_dys <= nll_pgdb + 1e-4 * max(1.0, abs(nll_pgdb))
+    assert est_dys.is_cptp(atol=1e-3)
+    assert choi_dist(est_dys, true) < 0.1
+    assert choi_dist(est_dys, est_pgdb) < 0.05
+
+
+def test_bootstrap_process_interval_dys():
+    true = amplitude_damping(0.5)
+    tmg = ProcessTomograph(true, key=17)
+    tmg.experiment(2000, "proj-set")
+    tmg.point_estimate("dys")
+    import quantpy_tpu as qt
+
+    iv = qt.BootstrapProcessInterval(tmg, n_points=8, method="dys")
+    d, _ = iv(np.array([0.5, 0.9]))
+    d = np.asarray(d)
+    assert d.shape == (2,) and np.all(np.isfinite(d)) and d[0] <= d[1] + 1e-9
+
+
 def test_unitary_channel_reconstruction():
     true = X.as_channel()
     tmg = ProcessTomograph(true, key=8)
