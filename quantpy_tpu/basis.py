@@ -59,6 +59,20 @@ class Basis:
             )
         return np.conj(np.linalg.solve(self.gram, rhs))
 
+    def decompose_batch(self, mats_batch) -> np.ndarray:
+        """Decompose a stack of matrices (k, d, d) in one Gram solve.
+
+        Equivalent to stacking `decompose` over the batch but factorizes
+        the Gram matrix once: the per-call solve is O(dim^3), which made
+        the 5-qubit ProcessTomograph constructor (4^n single-entry
+        decompositions, reference process.py:82-87) minutes of redundant
+        LU work."""
+        mats_batch = np.asarray(mats_batch, dtype=np.complex128)
+        if self.inner_product is not _trace_product:
+            return np.stack([self.decompose(m) for m in mats_batch])
+        rhs = np.einsum("iab,kab->ik", self._mats, mats_batch.conj())
+        return np.conj(np.linalg.solve(self.gram, rhs)).T
+
     def compose(self, vector):
         """Reconstruct an object from decomposition coefficients
         (reference quantpy/basis.py:37-39)."""

@@ -66,8 +66,8 @@ class ProcessTomograph:
         # decomposition of every single-entry matrix in the input basis
         # (reference process.py:82-87), used by the 'states' method and
         # the Holder interval
-        self._decomposed_single_entries = np.stack(
-            [self.input_basis.decompose(Qobj(e)) for e in generate_single_entries(dim)]
+        self._decomposed_single_entries = self.input_basis.decompose_batch(
+            np.stack([np.asarray(e) for e in generate_single_entries(dim)])
         )
         if key is None:
             key = 0
@@ -103,13 +103,27 @@ class ProcessTomograph:
                 for s in self.input_basis.elements
             ]
         out_blochs = np.stack([t.state.bloch for t in self.tomographs])
-        counts = process_core.simulate_process_experiment(
-            self._next_key(),
-            jnp.asarray(povm_matrix, dtype=rdtype()),
-            jnp.asarray(out_blochs, dtype=rdtype()),
-            jnp.asarray(n_measurements, dtype=rdtype()),
+        # chunk the sampling over input states: at 5 qubits one fused call
+        # draws 1024 x 243 multinomials and exceeds the axon runtime's
+        # ~60 s single-execution cap (docs/tpu_constraints.md)
+        cells_per_state = povm_matrix.shape[0] * povm_matrix.shape[1]
+        chunk = max(1, (1 << 21) // cells_per_state)
+        povm_dev = jnp.asarray(povm_matrix, dtype=rdtype())
+        n_meas_dev = jnp.asarray(n_measurements, dtype=rdtype())
+        counts = np.concatenate(
+            [
+                np.asarray(
+                    process_core.simulate_process_experiment(
+                        self._next_key(),
+                        povm_dev,
+                        jnp.asarray(out_blochs[lo : lo + chunk], dtype=rdtype()),
+                        n_meas_dev,
+                    ),
+                    dtype=np.float64,
+                )
+                for lo in range(0, out_blochs.shape[0], chunk)
+            ]
         )
-        counts = np.asarray(counts, dtype=np.float64)
         for tmg, c in zip(self.tomographs, counts):
             if warm_start and tmg.results is not None:
                 prev_total = float(np.sum(tmg.n_measurements))
@@ -188,14 +202,20 @@ class ProcessTomograph:
             from ..config import rdtype
 
             t0 = self.tomographs[0]
+            big = self.channel.n_qubits >= 5  # 1024-dim eigh per Dykstra
+            # iteration: the fused projection exceeds the ~60 s cap there
             choi_bloch = process_core.estimate_lifp_factored(
                 self.results,
                 jnp.asarray(self._input_blochs_t(), dtype=rdtype()),
                 jnp.asarray(t0.povm_matrix, dtype=rdtype()),
                 jnp.asarray(t0.n_measurements, dtype=rdtype()),
-                cptp=cptp,
+                cptp=cptp and not big,
                 cptp_tol=self._cptp_tol(tol),
             )
+            if cptp and big:
+                choi_bloch = process_core.cptp_project_bloch_host(
+                    choi_bloch, tol=self._cptp_tol(tol)
+                )
             self.reconstructed_channel = Channel(
                 Qobj(np.asarray(choi_bloch, dtype=np.float64))
             )

@@ -221,22 +221,64 @@ def cptp_project_bloch(choi_bloch, max_iter: int = 2000, tol: float | None = Non
 
     def step(carry):
         x, p, q, it, _ = carry
-        s = x + p
-        y = tp_project_bloch(s)
-        p_new = s - y
-        t = y + q
-        x_new = cp_project_bloch(t)
-        q_new = t - x_new
-        crit = jnp.sum((p_new - p) ** 2, axis=-1) + jnp.sum(
-            (q_new - q) ** 2, axis=-1
-        )
-        return x_new, p_new, q_new, it + 1, jnp.max(crit)
+        x_new, p_new, q_new, crit = _dykstra_step(x, p, q)
+        return x_new, p_new, q_new, it + 1, crit
 
     x, _, _, _, _ = jax.lax.while_loop(
         cond,
         step,
         (x0, zeros, zeros, jnp.asarray(0), jnp.asarray(jnp.inf, rdtype())),
     )
+    return x
+
+
+def _dykstra_step(x, p, q):
+    """One textbook two-set Dykstra update; returns (x, p, q, max crit)."""
+    s = x + p
+    y = tp_project_bloch(s)
+    p_new = s - y
+    t = y + q
+    x_new = cp_project_bloch(t)
+    q_new = t - x_new
+    crit = jnp.sum((p_new - p) ** 2, axis=-1) + jnp.sum(
+        (q_new - q) ** 2, axis=-1
+    )
+    return x_new, p_new, q_new, jnp.max(crit)
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def _dykstra_chunk(x, p, q, n_steps: int):
+    """`n_steps` Dykstra iterations as one device program (for the
+    host-chunked projection at 5+ qubits)."""
+
+    def body(carry, _):
+        x, p, q, _ = carry
+        return _dykstra_step(x, p, q), None
+
+    (x, p, q, crit), _ = jax.lax.scan(
+        body, (x, p, q, jnp.asarray(jnp.inf, rdtype())), None, length=n_steps
+    )
+    return x, p, q, crit
+
+
+def cptp_project_bloch_host(
+    choi_bloch, max_iter: int = 2000, tol: float | None = None, chunk: int = 100
+):
+    """Host-chunked twin of :func:`cptp_project_bloch` for large Choi
+    matrices: at 5 qubits each Dykstra iteration carries a 1024-dim eigh,
+    so the fused while_loop exceeds the axon runtime's ~60 s
+    single-execution cap (docs/tpu_constraints.md); here `chunk` iterations
+    run per device call with the stop criterion checked between calls."""
+    x = jnp.asarray(choi_bloch, dtype=rdtype())
+    p = jnp.zeros_like(x)
+    q = jnp.zeros_like(x)
+    tol = default_cptp_tol(tol)
+    done = 0
+    while done < max_iter:
+        x, p, q, crit = _dykstra_chunk(x, p, q, min(chunk, max_iter - done))
+        done += chunk
+        if float(np.asarray(crit)) <= tol:
+            break
     return x
 
 

@@ -201,6 +201,19 @@ def test_basis_parity(rng):
     )
 
 
+def test_basis_decompose_batch(rng):
+    elements = [qt.Qobj(rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4)))
+                for _ in range(16)]
+    basis = qt.Basis(elements)
+    targets = rng.normal(size=(5, 4, 4)) + 1j * rng.normal(size=(5, 4, 4))
+    batch = basis.decompose_batch(targets)
+    assert batch.shape == (5, 16)
+    for k in range(5):
+        np.testing.assert_allclose(
+            batch[k], basis.decompose(targets[k]), atol=1e-10
+        )
+
+
 # ---------------------------------------------------------------- POVMs
 
 

@@ -61,6 +61,19 @@ def test_cptp_projection_properties():
     assert choi_dist(good, fixed) < 1e-6
 
 
+def test_cptp_projection_host_chunked_matches_fused():
+    # the host-chunked Dykstra (used at 5+ qubits to stay under the axon
+    # ~60 s per-execution cap) must agree with the fused while_loop version
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(16, 16))
+    bad_choi = qt.Qobj(((m + m.T) / 8 + np.eye(16)).astype(complex))
+    fused = np.asarray(process_core.cptp_project_bloch(bad_choi.bloch))
+    chunked = np.asarray(
+        process_core.cptp_project_bloch_host(bad_choi.bloch, chunk=37)
+    )
+    np.testing.assert_allclose(chunked, fused, atol=1e-7)
+
+
 def test_tp_cp_projections():
     tmg = ProcessTomograph(depolarizing(0.5), key=4)
     rng = np.random.default_rng(1)
