@@ -37,7 +37,7 @@ import numpy as np
 
 from ..config import rdtype
 
-__all__ = ["solve_lp_batch", "solve_lp_batch_kron"]
+__all__ = ["solve_lp_batch", "solve_lp_batch_kron", "solve_lp_batch_factors"]
 
 #: iterations per convergence check
 _CHUNK = 500
@@ -186,6 +186,102 @@ def solve_lp_batch_kron(
     while iters < n_iter:
         x, xbar, y, obj, viol, res_p, res_d, gap, scale = _pdhg_kron_chunk(
             povm1, c, b, x, xbar, y, tau, sigma, n_qubits, _CHUNK
+        )
+        iters += _CHUNK
+        if (
+            float(res_p) <= tol * b_scale
+            and float(res_d) <= tol * c_scale
+            and float(gap) <= tol * float(scale)
+        ):
+            break
+    return x, obj, viol, iters
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunk",))
+def _pdhg_factors_chunk(
+    left, right, c_batch, b_batch, x, xbar, y, tau, sigma, n_chunk
+):
+    """Run `n_chunk` PDHG iterations with the two-factor matvec
+    A = left (x) right: variables live as (..., A, B) tables, constraints
+    as (..., S, K) tables, and A x = left @ X @ right^T. Used for the
+    process polytope LP, whose constraint matrix is exactly
+    kron(states_matrix, weighted povm rows) (interval.py:483-485) — dense
+    at 4 qubits it would be (256*1296) x 65280 ~ 86 GB."""
+
+    def fwd(v):
+        return jnp.einsum(
+            "sa,...ab,kb->...sk", left, v, right, optimize=True
+        )
+
+    def adj(w):
+        return jnp.einsum(
+            "sa,...sk,kb->...ab", left, w, right, optimize=True
+        )
+
+    def body(carry, _):
+        x, xbar, y = carry
+        y = jnp.maximum(0.0, y + sigma * (fwd(xbar) - b_batch))
+        x_new = x - tau * (c_batch + adj(y))
+        return (x_new, 2 * x_new - x, y), None
+
+    (x, xbar, y), _ = jax.lax.scan(body, (x, xbar, y), None, length=n_chunk)
+
+    ax = fwd(x)
+    viol = jnp.max(
+        jnp.maximum(ax - b_batch, 0.0), axis=(-2, -1)
+    )
+    res_p = jnp.max(viol)
+    res_d = jnp.max(jnp.abs(c_batch + adj(y)))
+    obj = jnp.sum(c_batch * x, axis=(-2, -1))
+    d_obj = -jnp.sum(b_batch * y, axis=(-2, -1))
+    gap = jnp.max(jnp.abs(obj - d_obj))
+    scale = 1.0 + jnp.max(jnp.abs(obj)) + jnp.max(jnp.abs(d_obj))
+    return x, xbar, y, obj, viol, res_p, res_d, gap, scale
+
+
+def solve_lp_batch_factors(
+    c,
+    left,
+    right,
+    b_batch,
+    n_iter: int = 20000,
+    tol: float | None = None,
+):
+    """Two-Kronecker-factor twin of :func:`solve_lp_batch`.
+
+    Solves min <c, x> s.t. (left (x) right) x <= b for a batch of
+    right-hand sides without materializing the constraint matrix.
+    `c` is (A, B) or (..., A, B); `left` (S, A); `right` (K, B); `b_batch`
+    (..., S, K). Returns (x, obj, viol, iters) with x of shape
+    (..., A, B) and flattened-column order matching
+    kron(left, right) = einsum('sa,kb->skab').reshape(S K, A B).
+    """
+    left = jnp.asarray(left, dtype=rdtype())
+    right = jnp.asarray(right, dtype=rdtype())
+    b = jnp.asarray(b_batch, dtype=rdtype())
+    c = jnp.asarray(c, dtype=rdtype())
+    if c.ndim == 2:
+        c = jnp.broadcast_to(c, b.shape[:-2] + c.shape)
+    if tol is None:
+        tol = 1e-9 if np.dtype(rdtype()) == np.float64 else 3e-5
+    # ||kron(L, R)||_2 = sigma_max(L) sigma_max(R)
+    norm = float(
+        np.linalg.svd(np.asarray(left, np.float64), compute_uv=False)[0]
+        * np.linalg.svd(np.asarray(right, np.float64), compute_uv=False)[0]
+    )
+    tau = jnp.asarray(0.9 / norm, dtype=rdtype())
+    sigma = jnp.asarray(0.9 / norm, dtype=rdtype())
+
+    b_scale = 1.0 + float(jnp.max(jnp.abs(b)))
+    c_scale = 1.0 + float(jnp.max(jnp.abs(c)))
+    x = jnp.zeros_like(c)
+    xbar = x
+    y = jnp.zeros_like(b)
+    iters = 0
+    obj = viol = None
+    while iters < n_iter:
+        x, xbar, y, obj, viol, res_p, res_d, gap, scale = _pdhg_factors_chunk(
+            left, right, c, b, x, xbar, y, tau, sigma, _CHUNK
         )
         iters += _CHUNK
         if (

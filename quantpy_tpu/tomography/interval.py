@@ -26,7 +26,12 @@ from enum import Enum, auto
 import numpy as np
 import scipy.stats as sts
 
-from ..convex import linear_bounds_on_ball_slice, solve_lp_batch, solve_lp_batch_kron
+from ..convex import (
+    linear_bounds_on_ball_slice,
+    solve_lp_batch,
+    solve_lp_batch_factors,
+    solve_lp_batch_kron,
+)
 from ..mhmc import MHMC, normalized_update
 from ..ops.cholesky import np_matrix_to_real_tril_vec
 from ..ops.geometry import hs_dst, if_dst, trace_dst
@@ -150,18 +155,22 @@ class MomentInterval(ConfidenceInterval):
             dim = 4**self.tmg.channel.n_qubits
             t0 = self.tmg.tomographs[0]
             n_measurements = t0.n_measurements
-            freq = np.vstack(
+            # the process design is kron(states_matrix, povm_flat); the
+            # factored moments never build it or its (S K, 16^n) pseudo-
+            # inverse (the reference's n >= 3 wall, interval.py:76-88) —
+            # exact-equality-tested against the dense path at 1-2 qubits,
+            # and the enabler for analytic 4-5 qubit process intervals
+            from . import kron_analytic
+
+            freq3 = np.stack(
                 [t.results / t.n_measurements[:, None] for t in self.tmg.tomographs]
             )
-            povm_flat = t0.povm_matrix.reshape(-1, t0.povm_matrix.shape[-1])
-            states_matrix = self.tmg._input_blochs_t()
-            channel_matrix = np.einsum("sd,pi->spdi", states_matrix, povm_flat)
-            channel_matrix = channel_matrix.reshape(
-                states_matrix.shape[0] * povm_flat.shape[0], -1
+            mean, variance = kron_analytic.channel_l2_moments(
+                self.tmg._input_blochs_t(),
+                t0.povm_matrix,
+                freq3,
+                n_measurements[0],
             )
-            inv = _left_inv_np(channel_matrix) / dim
-            inv = inv.reshape(-1, freq.shape[0], freq.shape[1])
-            mean, variance = l2_moments_from_factor(inv, freq, n_measurements[0])
         if self.distr_type == "norm":
             distr = sts.norm(loc=mean, scale=np.sqrt(variance))
         elif self.distr_type == "gamma":
@@ -344,6 +353,9 @@ class SugiyamaInterval(ConfidenceInterval):
 
 class _PolytopeBase(ConfidenceInterval):
     LP_ITERS = 20000
+    #: dense constraint-matrix element budget; beyond it the process LP
+    #: runs on the two-factor matvec path (solve_lp_batch_factors)
+    DENSE_LP_MAX_ELEMENTS = 2**25
 
     def __call__(self, conf_levels=None):
         if conf_levels is None:
@@ -476,9 +488,6 @@ class PolytopeProcessInterval(_PolytopeBase):
             povm_matrix * n_meas[:, None, None] / n_meas.sum()
         ).reshape(-1, povm_matrix.shape[-1]) * m
         states_matrix = self.tmg._input_blochs_t()
-        a_matrix = (
-            np.einsum("ia,jb->ijab", states_matrix, meas_flat[:, 1:]) * dim
-        ).reshape(states_matrix.shape[0] * meas_flat.shape[0], -1)
         c = np.asarray(self.target_channel.choi.bloch, dtype=np.float64)[bloch_indices]
 
         max_delta = float(count_delta(1 - 1e-7, freq, n_meas))
@@ -486,7 +495,29 @@ class PolytopeProcessInterval(_PolytopeBase):
         deltas = np.linspace(min_delta, max_delta, self.n_points)
         b_base = freq.reshape(-1) - np.tile(meas_flat[:, 0], states_matrix.shape[0])
         b_batch = b_base[None, :] + deltas[:, None]
-        dist_min, dist_max = self._solve(c, a_matrix, b_batch, 1 / dim, 1.0)
+        n_rows = states_matrix.shape[0] * meas_flat.shape[0]
+        if n_rows * (dim**2 - dim) > self.DENSE_LP_MAX_ELEMENTS:
+            # the constraint matrix is exactly kron(states, weighted povm
+            # rows); at 4 qubits dense it would be 86 GB — apply it as the
+            # two-factor matvec instead (equality-tested vs dense at 2q)
+            b3 = b_batch.reshape(
+                len(deltas), states_matrix.shape[0], meas_flat.shape[0]
+            )
+            dist_min, dist_max = self._solve_with(
+                lambda cc: solve_lp_batch_factors(
+                    np.asarray(cc).reshape(dim, dim - 1),
+                    states_matrix,
+                    meas_flat[:, 1:] * dim,
+                    b3,
+                    self.LP_ITERS,
+                ),
+                c, 1 / dim, 1.0,
+            )
+        else:
+            a_matrix = (
+                np.einsum("ia,jb->ijab", states_matrix, meas_flat[:, 1:]) * dim
+            ).reshape(n_rows, -1)
+            dist_min, dist_max = self._solve(c, a_matrix, b_batch, 1 / dim, 1.0)
         conf = np.asarray(count_confidence(deltas, freq, n_meas))
         self.cl_to_dist_min = _interp1d(conf, dist_min)
         self.cl_to_dist_max = _interp1d(conf, dist_max)

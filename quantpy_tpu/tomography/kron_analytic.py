@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["kron_l2_moments", "kron_sugiyama_c_alpha"]
+__all__ = ["kron_l2_moments", "kron_sugiyama_c_alpha", "channel_l2_moments"]
 
 
 def _v1(povm1: np.ndarray) -> np.ndarray:
@@ -135,6 +135,66 @@ def kron_l2_moments(povm1, n_qubits: int, freq, n_trials, chunk: int | None = No
         rs += float(np.einsum(f"z{sub},{sub}->", g * g, f_flat_interleaved))
     mean = (tr_r - tr_s) / n_trials
     variance = 2.0 * (tr_r2 - 2.0 * rs + tr_s2) / n_trials**2
+    return mean, variance
+
+
+def channel_l2_moments(states_matrix, povm_matrix, freq, n_trials):
+    """(mean, variance) of the MomentInterval L2 statistic for a process
+    design, never materializing the (S*K, 16^n) channel matrix.
+
+    The process measurement map is exactly a two-factor Kronecker product
+    (reference quantpy/tomography/interval.py:76-88 builds it dense):
+    A[(s,k), (d,e)] = states_matrix[s, d] * povm_flat[k, e], so
+    A^+ = states_matrix^+ (x) povm_flat^+, and with the quadratic-form
+    identities of stats.py the moment matrix splits per input state:
+
+        M = sum_s (v_s v_s^T) (x) Mp[s],
+        Mp[s] = Vp diag(f_s) Vp^T - Tp[s] Tp[s]^T   (dp x dp per state)
+
+    with v_s = column s of Vs = states_matrix^+. Hence
+
+        tr M      = sum_s ||v_s||^2 tr Mp[s]
+        ||M||_F^2 = sum_{s,s'} (v_s . v_s')^2  <Mp[s], Mp[s']>_F
+
+    — everything is (S, dp, dp)-sized; at 4 qubits that is 134 MB where the
+    dense pseudo-inverse would be 21 GB (the reference's wall at n >= 3).
+    Exactness vs the dense path is tested at 1-2 qubits.
+
+    Parameters
+    ----------
+    states_matrix : (S, ds) input-state bloch rows (tmg._input_blochs_t())
+    povm_matrix : (m, p, dp) POVM bloch tensor of the child tomographs
+    freq : (S, m, p) observed frequencies
+    n_trials : shots per (state, POVM) multinomial (uniform)
+    """
+    states_matrix = np.asarray(states_matrix, dtype=np.float64)
+    povm = np.asarray(povm_matrix, dtype=np.float64)
+    f = np.asarray(freq, dtype=np.float64)
+    n_states, m, p = f.shape
+    dp = povm.shape[-1]
+    dim = float(dp)  # the dense path scales A^+ by 1/dim with dim = 4^n,
+    # the Choi Hilbert dimension == the POVM bloch length (interval.py:150)
+
+    vs = np.linalg.pinv(states_matrix)  # (ds, S)
+    vp = np.linalg.pinv(povm.reshape(m * p, dp)) / dim  # (dp, m p)
+    vp3 = vp.reshape(dp, m, p)
+
+    # per-state blocks: Tp[s] = Vp f_s (dp, m); Rp[s] = Vp diag(f_s) Vp^T
+    tp = np.einsum("dai,sai->sda", vp3, f, optimize=True)
+    # Rp via batched matmul: (Vp * f_s) @ Vp^T
+    vp_flat = vp  # (dp, K)
+    f_flat = f.reshape(n_states, m * p)
+    mp_blocks = np.empty((n_states, dp, dp))
+    for s in range(n_states):
+        vpf = vp_flat * f_flat[s][None, :]
+        mp_blocks[s] = vpf @ vp_flat.T - tp[s] @ tp[s].T
+    cs = vs.T @ vs  # (S, S) state-factor Gram
+    tr_mp = np.trace(mp_blocks, axis1=-2, axis2=-1)
+    mean = float(np.diag(cs) @ tr_mp) / n_trials
+    x = mp_blocks.reshape(n_states, dp * dp)
+    p_gram = x @ x.T  # <Mp[s], Mp[s']>_F
+    fro2 = float(np.sum(cs * cs * p_gram))
+    variance = 2.0 * fro2 / n_trials**2
     return mean, variance
 
 

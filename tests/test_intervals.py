@@ -113,6 +113,45 @@ def test_moment_interval_kron_matches_dense(state_tmg_3q):
     )
 
 
+def test_channel_moments_match_dense(process_tmg):
+    """The factored two-Kronecker-factor channel moments (interval.py
+    channel branch -> kron_analytic.channel_l2_moments) must equal the
+    dense (S K, 16^n) pseudo-inverse recipe exactly."""
+    from quantpy_tpu.stats import l2_moments_from_factor
+    from quantpy_tpu.tomography import kron_analytic
+
+    t0 = process_tmg.tomographs[0]
+    dim = 4**process_tmg.channel.n_qubits
+    freq = np.vstack(
+        [t.results / t.n_measurements[:, None] for t in process_tmg.tomographs]
+    )
+    povm_flat = t0.povm_matrix.reshape(-1, t0.povm_matrix.shape[-1])
+    sm = process_tmg._input_blochs_t()
+    cm = np.einsum("sd,pi->spdi", sm, povm_flat).reshape(
+        sm.shape[0] * povm_flat.shape[0], -1
+    )
+    inv = np.linalg.solve(cm.T @ cm, cm.T) / dim
+    inv = inv.reshape(-1, freq.shape[0], freq.shape[1])
+    m_dense, v_dense = l2_moments_from_factor(inv, freq, t0.n_measurements[0])
+    freq3 = np.stack(
+        [t.results / t.n_measurements[:, None] for t in process_tmg.tomographs]
+    )
+    m_fac, v_fac = kron_analytic.channel_l2_moments(
+        sm, t0.povm_matrix, freq3, t0.n_measurements[0]
+    )
+    np.testing.assert_allclose(m_fac, m_dense, rtol=1e-12)
+    np.testing.assert_allclose(v_fac, v_dense, rtol=1e-12)
+
+
+def test_moment_interval_process_3q():
+    """Analytic process moment interval at 3 qubits — infeasible for the
+    dense recipe the reference uses (its channel matrix pseudo-inverse is
+    the n >= 3 wall, reference interval.py:76-88)."""
+    tmg = qt.ProcessTomograph(depolarizing(0.1, n_qubits=3), key=33)
+    tmg.experiment(1000, "proj-set")
+    _check_monotone_interval(qt.MomentInterval(tmg))
+
+
 def test_sugiyama_interval_kron_matches_dense(state_tmg_3q):
     dense = qt.SugiyamaInterval(state_tmg_3q)
     dense.setup()
@@ -311,6 +350,21 @@ def test_polytope_process_interval(process_tmg):
     iv = qt.PolytopeProcessInterval(process_tmg, n_points=30)
     (fmin, fmax), _ = iv(np.linspace(0.2, 0.9, 5))
     assert np.all(np.asarray(fmin) <= np.asarray(fmax) + 1e-6)
+
+
+def test_polytope_process_factored_matches_dense(process_tmg, monkeypatch):
+    """The two-factor matvec path (the 4-qubit enabler: dense the LP
+    matrix would be 86 GB there) must reproduce the dense solves."""
+    from quantpy_tpu.tomography.interval import _PolytopeBase
+
+    cl = np.linspace(0.2, 0.9, 5)
+    dense = qt.PolytopeProcessInterval(process_tmg, n_points=30)
+    (dmin, dmax), _ = dense(cl)
+    monkeypatch.setattr(_PolytopeBase, "DENSE_LP_MAX_ELEMENTS", 1)
+    fact = qt.PolytopeProcessInterval(process_tmg, n_points=30)
+    (fmin, fmax), _ = fact(cl)
+    np.testing.assert_allclose(fmin, dmin, atol=1e-6)
+    np.testing.assert_allclose(fmax, dmax, atol=1e-6)
 
 
 # ------------------------------------------------------------------ bootstrap
