@@ -177,25 +177,77 @@ def channel_l2_moments(states_matrix, povm_matrix, freq, n_trials):
 
     vs = np.linalg.pinv(states_matrix)  # (ds, S)
     vp = np.linalg.pinv(povm.reshape(m * p, dp)) / dim  # (dp, m p)
-    vp3 = vp.reshape(dp, m, p)
-
-    # per-state blocks: Tp[s] = Vp f_s (dp, m); Rp[s] = Vp diag(f_s) Vp^T
-    tp = np.einsum("dai,sai->sda", vp3, f, optimize=True)
-    # Rp via batched matmul: (Vp * f_s) @ Vp^T
-    vp_flat = vp  # (dp, K)
-    f_flat = f.reshape(n_states, m * p)
-    mp_blocks = np.empty((n_states, dp, dp))
-    for s in range(n_states):
-        vpf = vp_flat * f_flat[s][None, :]
-        mp_blocks[s] = vpf @ vp_flat.T - tp[s] @ tp[s].T
     cs = vs.T @ vs  # (S, S) state-factor Gram
-    tr_mp = np.trace(mp_blocks, axis1=-2, axis2=-1)
+
+    if n_states * dp * dp > _DEVICE_MOMENTS_THRESHOLD:
+        tr_mp, p_gram = _channel_block_grams_device(vp, f)
+    else:
+        tr_mp, p_gram = _channel_block_grams_host(vp, f)
     mean = float(np.diag(cs) @ tr_mp) / n_trials
-    x = mp_blocks.reshape(n_states, dp * dp)
-    p_gram = x @ x.T  # <Mp[s], Mp[s']>_F
     fro2 = float(np.sum(cs * cs * p_gram))
     variance = 2.0 * fro2 / n_trials**2
     return mean, variance
+
+
+#: above this many Mp-block elements the per-state Grams run on the
+#: default jax device (f32 matmuls; this host has a single CPU core, where
+#: the 5-qubit case would be ~10 minutes of serial BLAS)
+_DEVICE_MOMENTS_THRESHOLD = 1 << 25
+
+
+def _channel_block_grams_host(vp, f):
+    """(tr Mp[s], <Mp[s], Mp[s']>_F) on host in f64 (exact reference)."""
+    n_states, m, p = f.shape
+    dp = vp.shape[0]
+    vp3 = vp.reshape(dp, m, p)
+    tp = np.einsum("dai,sai->sda", vp3, f, optimize=True)
+    f_flat = f.reshape(n_states, m * p)
+    mp_blocks = np.empty((n_states, dp, dp))
+    for s in range(n_states):
+        vpf = vp * f_flat[s][None, :]
+        mp_blocks[s] = vpf @ vp.T - tp[s] @ tp[s].T
+    tr_mp = np.trace(mp_blocks, axis1=-2, axis2=-1)
+    x = mp_blocks.reshape(n_states, dp * dp)
+    return tr_mp, x @ x.T
+
+
+def _channel_block_grams_device(vp, f, chunk: int = 16):
+    """Device twin of :func:`_channel_block_grams_host`: the per-state
+    moment blocks Mp[s] and their pairwise Frobenius Gram as f32 device
+    matmuls, host-chunked over input states so each device call stays far
+    under the runtime's ~60 s execution cap (docs/tpu_constraints.md).
+    All boundary arrays are real (axon contract). f32 is ample here: the
+    Gram feeds a variance whose statistical use tolerates ~1e-3 relative
+    error (tested vs the f64 host path at 2 qubits)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_states, m, p = f.shape
+    dp = vp.shape[0]
+
+    @jax.jit
+    def block_chunk(vp_dev, f_chunk):
+        vp3 = vp_dev.reshape(dp, m, p)
+        tp = jnp.einsum("dai,sai->sda", vp3, f_chunk)
+        vpf = vp_dev[None, :, :] * f_chunk.reshape(f_chunk.shape[0], 1, -1)
+        mp = jnp.matmul(vpf, vp_dev.T) - jnp.matmul(
+            tp, jnp.swapaxes(tp, -1, -2)
+        )
+        tr = jnp.trace(mp, axis1=-2, axis2=-1)
+        return tr, mp.reshape(mp.shape[0], dp * dp)
+
+    vp_dev = jnp.asarray(vp, dtype=jnp.float32)
+    trs, xs = [], []
+    for lo in range(0, n_states, chunk):
+        tr, x = block_chunk(vp_dev, jnp.asarray(f[lo : lo + chunk], jnp.float32))
+        trs.append(tr)
+        xs.append(x)
+    x_all = jnp.concatenate(xs, axis=0)
+    p_gram = jnp.matmul(x_all, x_all.T)
+    return (
+        np.asarray(jnp.concatenate(trs), dtype=np.float64),
+        np.asarray(p_gram, dtype=np.float64),
+    )
 
 
 def kron_sugiyama_c_alpha(povm1, n_qubits: int) -> np.ndarray:

@@ -143,6 +143,45 @@ def test_channel_moments_match_dense(process_tmg):
     np.testing.assert_allclose(v_fac, v_dense, rtol=1e-12)
 
 
+def test_channel_moments_device_path(process_tmg, monkeypatch):
+    """The f32 device path for the per-state moment-block Grams (the
+    5-qubit enabler on a single-core host) agrees with the f64 host path."""
+    from quantpy_tpu.tomography import kron_analytic as ka
+
+    t0 = process_tmg.tomographs[0]
+    freq3 = np.stack(
+        [t.results / t.n_measurements[:, None] for t in process_tmg.tomographs]
+    )
+    sm = process_tmg._input_blochs_t()
+    m_h, v_h = ka.channel_l2_moments(
+        sm, t0.povm_matrix, freq3, t0.n_measurements[0]
+    )
+    monkeypatch.setattr(ka, "_DEVICE_MOMENTS_THRESHOLD", 1)
+    m_d, v_d = ka.channel_l2_moments(
+        sm, t0.povm_matrix, freq3, t0.n_measurements[0]
+    )
+    np.testing.assert_allclose(m_d, m_h, rtol=1e-3)
+    np.testing.assert_allclose(v_d, v_h, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_channel_moment_coverage():
+    """The factored channel moment CI should cover the true channel at
+    roughly its nominal level (statistical self-verification)."""
+    true = depolarizing(0.2, n_qubits=1)
+    n_trials, covered = 40, 0
+    for i in range(n_trials):
+        t = qt.ProcessTomograph(true, key=5000 + i)
+        t.experiment(2000, "proj-set")
+        est = t.point_estimate("lifp", cptp=False)
+        iv = qt.MomentInterval(t)
+        iv.setup()
+        d90 = float(iv.cl_to_dist(0.9))
+        if float(qt.hs_dst(est.choi, true.choi)) <= d90:
+            covered += 1
+    assert covered / n_trials >= 0.8
+
+
 def test_moment_interval_process_3q():
     """Analytic process moment interval at 3 qubits — infeasible for the
     dense recipe the reference uses (its channel matrix pseudo-inverse is
