@@ -33,6 +33,7 @@ __all__ = [
     "sharded_kron_bootstrap_distances",
     "sharded_process_bootstrap_distances",
     "sharded_coverage",
+    "sharded_mhmc_state_chains",
     "povm_sharded_probabilities",
 ]
 
@@ -265,6 +266,82 @@ def sharded_coverage(
     import numpy as np
 
     return np.asarray(sums, dtype=np.float64) / n_trials
+
+
+def sharded_mhmc_state_chains(
+    mesh: Mesh,
+    key,
+    x_init,
+    povm_flat_w,
+    frequencies,
+    n_qubits: int,
+    scale,
+    step: float,
+    n_chains: int,
+    n_samples: int,
+    burn_steps: int = 100,
+    thinning: int = 1,
+    jump_distr=None,
+):
+    """Independent MHMC likelihood chains sharded over the mesh.
+
+    Chains are embarrassingly parallel (the reference runs ONE sequential
+    Python chain, mhmc.py:80-84; the single-chip extension vmaps them,
+    mhmc.sample_chains); here each device runs its n_chains/n_dev share of
+    chains — same Metropolis kernel, own key folds, each with its own
+    burn-in — and the sample gather is the only ICI traffic. The target is
+    the (optionally count-scaled) state NLL over Cholesky parameters
+    (state_core.nll_tril), evaluated against the dense weighted design.
+
+    Returns (samples (n_chains, n_samples, dim), acceptance_rate).
+    """
+    from ..mhmc import _JUMP_DISTRS, _run_chain, normalized_update
+    from ..tomography import state_core
+
+    n_dev = mesh.devices.size
+    if n_chains % n_dev:
+        raise ValueError(f"n_chains={n_chains} must divide by {n_dev} devices")
+    per_dev = n_chains // n_dev
+    keys = jax.random.split(key, n_dev)
+    total = int(n_samples) * int(thinning) + int(burn_steps)
+    if jump_distr is None:
+        jump_fn = _JUMP_DISTRS["normal"]
+    elif isinstance(jump_distr, str):
+        jump_fn = _JUMP_DISTRS[jump_distr]
+    else:
+        jump_fn = jump_distr
+    scale = float(scale)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(), P(), P()),
+        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+        check_vma=False,
+    )
+    def run(keys_shard, x0, povm_w, freq):
+        def logpdf(x):
+            return -scale * state_core.nll_tril(x, povm_w, freq, n_qubits)
+
+        def one(k):
+            xs, acc = _run_chain(
+                k, x0, logpdf, normalized_update, jump_fn, step, total, 1
+            )
+            kept = xs[int(burn_steps) :]
+            return kept[int(thinning) - 1 :: int(thinning)], acc
+
+        ks = jax.random.split(keys_shard[0], per_dev)
+        return jax.vmap(one)(ks)
+
+    xs, acc = jax.jit(run)(
+        keys,
+        jnp.asarray(x_init, dtype=rdtype()),
+        jnp.asarray(povm_flat_w, dtype=rdtype()),
+        jnp.asarray(frequencies, dtype=rdtype()),
+    )
+    import numpy as np
+
+    return np.asarray(xs), float(np.sum(np.asarray(acc))) / (n_chains * total)
 
 
 def povm_sharded_probabilities(mesh: Mesh, povm_flat, bloch):

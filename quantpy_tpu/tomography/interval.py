@@ -796,6 +796,7 @@ class MHMCStateInterval(ConfidenceInterval):
         adapt_step: bool = False,
         n_chains: int = 1,
         jump_distr=None,
+        mesh=None,
     ):
         """`temper=True` (default) samples exp(-NLL/N) like the reference
         (its _nll is frequency-normalized, state.py:217-229) — a posterior
@@ -807,13 +808,15 @@ class MHMCStateInterval(ConfidenceInterval):
         parallel (each with its own burn-in) and reports the split-R-hat
         and effective-sample-size diagnostics (`r_hat`, `ess` attributes)
         of the distance series. `jump_distr` selects the symmetric proposal
-        (see MHMC)."""
+        (see MHMC). `mesh` (a jax.sharding.Mesh) shards the chains of an
+        `n_chains > 1` run over the mesh devices (dense designs only);
+        `adapt_step` still tunes the proposal locally before dispatch."""
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
             thinning=thinning, warm_start=warm_start,
             use_new_estimate=use_new_estimate, state=state, verbose=verbose,
             key=key, temper=temper, adapt_step=adapt_step,
-            n_chains=n_chains, jump_distr=jump_distr,
+            n_chains=n_chains, jump_distr=jump_distr, mesh=mesh,
         )
 
     def setup(self):
@@ -847,7 +850,37 @@ class MHMCStateInterval(ConfidenceInterval):
             )
             if self.adapt_step:
                 self.chain.adapt_step()
-        if self.n_chains > 1:
+        if self.n_chains > 1 and self.mesh is not None:
+            if self.tmg.povm_matrix is None:
+                raise NotImplementedError(
+                    "mesh-sharded MHMC chains need a dense design"
+                )
+            from ..parallel import sharded_mhmc_state_chains
+            from .state_core import weighted_povm_flat
+
+            per_chain = -(-self.n_points // self.n_chains)
+            flat = self.tmg.flat_results
+            scale = 1.0 if self.temper else float(np.sum(self.tmg.n_measurements))
+            samples, self.acceptance_rate = sharded_mhmc_state_chains(
+                self.mesh,
+                self.chain._next_key(),
+                self.chain.x_t,
+                weighted_povm_flat(
+                    self.tmg.povm_matrix, self.tmg.n_measurements
+                ),
+                flat / flat.sum(),
+                self.tmg.state.n_qubits,
+                scale,
+                self.chain.step,
+                self.n_chains,
+                per_chain,
+                burn_steps=self.burn_steps,
+                thinning=self.thinning,
+                jump_distr=self.jump_distr,
+            )
+            chain_shape = samples.shape[:2]
+            samples = samples.reshape(-1, samples.shape[-1])
+        elif self.n_chains > 1:
             per_chain = -(-self.n_points // self.n_chains)
             samples, self.acceptance_rate = self.chain.sample_chains(
                 per_chain, self.n_chains, self.thinning

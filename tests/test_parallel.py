@@ -176,3 +176,30 @@ def test_sharded_coverage_qpt_problem():
     assert cov.shape == conf.shape
     assert np.all((0 <= cov) & (cov <= 1))
     assert np.all(cov >= conf - 0.15)
+
+
+def test_sharded_mhmc_chains_match_local(design):
+    """Mesh-sharded MHMC chains sample the same posterior as the local
+    vmapped multichain run (same kernel, different key streams)."""
+    tmg, est = design
+    mesh = make_mesh()
+    cl = np.linspace(0.1, 0.9, 5)
+    kw = dict(n_points=640, burn_steps=400, n_chains=8, use_new_estimate=True,
+              temper=False, adapt_step=True)
+    iv_local = qt.MHMCStateInterval(tmg, **kw)
+    d_local, _ = iv_local(cl)
+    iv_mesh = qt.MHMCStateInterval(tmg, **kw, mesh=mesh)
+    d_mesh, _ = iv_mesh(cl)
+    assert 0 < iv_mesh.acceptance_rate < 1
+    rel = np.abs(np.asarray(d_mesh) - np.asarray(d_local)) / np.asarray(d_local)
+    assert float(rel.max()) < 0.3  # Monte-Carlo agreement
+
+
+def test_sharded_mhmc_chains_divisibility(design):
+    tmg, est = design
+    mesh = make_mesh()
+    iv = qt.MHMCStateInterval(
+        tmg, n_points=30, n_chains=3, use_new_estimate=True, mesh=mesh
+    )
+    with pytest.raises(ValueError):
+        iv(np.array([0.5]))
