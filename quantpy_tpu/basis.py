@@ -37,8 +37,11 @@ class Basis:
         self._mats = mats
         if inner_product == "trace":
             self.inner_product = _trace_product
-            # gram[i, j] = Tr(E_i E_j^H), vectorized
-            self.gram = np.einsum("iab,jab->ij", mats, mats.conj())
+            # gram[i, j] = Tr(E_i E_j^H) as ONE zgemm — np.einsum's default
+            # non-optimized path walks the 4^n x 4^n x 4^n loop in C, which
+            # at 6 qubits is ~an hour on this host vs ~a minute of BLAS
+            flat = mats.reshape(self.dim, -1)
+            self.gram = flat @ flat.conj().T
         else:
             self.inner_product = inner_product
             self.gram = np.zeros((self.dim, self.dim), dtype=np.complex128)
@@ -51,7 +54,7 @@ class Basis:
         (reference quantpy/basis.py:32-35)."""
         m = np.asarray(getattr(obj, "matrix", obj), dtype=np.complex128)
         if self.inner_product is _trace_product:
-            rhs = np.einsum("iab,ab->i", self._mats, m.conj())
+            rhs = self._mats.reshape(self.dim, -1) @ m.reshape(-1).conj()
         else:
             rhs = np.array(
                 [self.inner_product(e, obj) for e in self.elements],
@@ -70,7 +73,9 @@ class Basis:
         mats_batch = np.asarray(mats_batch, dtype=np.complex128)
         if self.inner_product is not _trace_product:
             return np.stack([self.decompose(m) for m in mats_batch])
-        rhs = np.einsum("iab,kab->ik", self._mats, mats_batch.conj())
+        rhs = self._mats.reshape(self.dim, -1) @ mats_batch.reshape(
+            mats_batch.shape[0], -1
+        ).conj().T  # one zgemm (see gram comment)
         return np.conj(np.linalg.solve(self.gram, rhs)).T
 
     def compose(self, vector):

@@ -49,12 +49,18 @@ __all__ = [
     "l2_first_moment",
     "l2_second_moment",
     "l2_moments_from_factor",
+    "make_identity_weights",
 ]
 
 
-def _identity_weights(freq: np.ndarray) -> np.ndarray:
-    m, p = freq.shape
+def make_identity_weights(freq: np.ndarray) -> np.ndarray:
+    """Identity weights tensor W[ai, bj] = delta_ab delta_ij for an (m, p)
+    frequency table (API parity with reference quantpy/stats.py)."""
+    m, p = np.asarray(freq).shape
     return np.einsum("ab,ij->aibj", np.eye(m), np.eye(p))
+
+
+_identity_weights = make_identity_weights
 
 
 def _w_sigma(weights: np.ndarray, freq: np.ndarray) -> np.ndarray:
