@@ -79,10 +79,17 @@ class Channel(BaseQuantum):
             from .routines import generate_single_entries
 
             dim = 2**self.n_qubits
-            acc = np.zeros((dim * dim, dim * dim), dtype=np.complex128)
-            for e in generate_single_entries(dim):
-                acc += np.kron(e, self.transform(Qobj(e)).matrix)
-            self._choi = Qobj(acc)
+            # C[(i a), (j b)] = Phi(E_ij)[a, b]: write each transformed
+            # single entry into its block directly. The reference
+            # accumulates dim^2 full-size np.kron products
+            # (quantpy/channel.py:92-100) — O(16^n) work and allocation per
+            # entry, which thrashes for ~an hour at 6 qubits; this assembly
+            # is one pass over the same data (~seconds).
+            acc = np.zeros((dim, dim, dim, dim), dtype=np.complex128)
+            for idx, e in enumerate(generate_single_entries(dim)):
+                i, j = divmod(idx, dim)
+                acc[i, :, j, :] = self.transform(Qobj(e)).matrix
+            self._choi = Qobj(acc.reshape(dim * dim, dim * dim))
         return self._choi
 
     @choi.setter
