@@ -6,6 +6,7 @@ from .mesh import (
     sharded_bootstrap_distances,
     sharded_coverage,
     sharded_kron_bootstrap_distances,
+    sharded_mhmc_process_chains,
     sharded_mhmc_state_chains,
     sharded_process_bootstrap_distances,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "sharded_bootstrap_distances",
     "sharded_coverage",
     "sharded_kron_bootstrap_distances",
+    "sharded_mhmc_process_chains",
     "sharded_mhmc_state_chains",
     "sharded_process_bootstrap_distances",
 ]

@@ -944,6 +944,7 @@ class MHMCProcessInterval(ConfidenceInterval):
         adapt_step: bool = False,
         n_chains: int = 1,
         jump_distr=None,
+        mesh=None,
     ):
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
@@ -953,6 +954,7 @@ class MHMCProcessInterval(ConfidenceInterval):
             use_new_estimate=use_new_estimate, channel=channel,
             verbose=verbose, return_samples=return_samples, key=key,
             adapt_step=adapt_step, n_chains=n_chains, jump_distr=jump_distr,
+            mesh=mesh,
         )
 
     def setup(self):
@@ -987,7 +989,29 @@ class MHMCProcessInterval(ConfidenceInterval):
             )
             if self.adapt_step:
                 self.chain.adapt_step(segment=100, max_rounds=8)
-        if self.n_chains > 1:
+        if self.n_chains > 1 and self.mesh is not None:
+            from ..parallel import sharded_mhmc_process_chains
+
+            t0 = self.tmg.tomographs[0]
+            per_chain = -(-self.n_points // self.n_chains)
+            samples, self.acceptance_rate = sharded_mhmc_process_chains(
+                self.mesh,
+                self.chain._next_key(),
+                self.chain.x_t,
+                self.tmg._input_blochs_t(),
+                t0.povm_matrix,
+                t0.n_measurements,
+                np.concatenate([t.flat_results for t in self.tmg.tomographs]),
+                self.chain.step,
+                self.n_chains,
+                per_chain,
+                burn_steps=self.burn_steps,
+                thinning=self.thinning,
+                jump_distr=self.jump_distr,
+            )
+            chain_shape = samples.shape[:2]
+            samples = samples.reshape(-1, samples.shape[-1])
+        elif self.n_chains > 1:
             per_chain = -(-self.n_points // self.n_chains)
             samples, self.acceptance_rate = self.chain.sample_chains(
                 per_chain, self.n_chains, self.thinning

@@ -203,3 +203,23 @@ def test_sharded_mhmc_chains_divisibility(design):
     )
     with pytest.raises(ValueError):
         iv(np.array([0.5]))
+
+
+def test_sharded_mhmc_process_chains_match_local():
+    """Mesh-sharded CPTP-projected process chains sample the same posterior
+    as the local vmapped multichain run."""
+    from quantpy_tpu.channel import dephasing
+
+    tmg = qt.ProcessTomograph(dephasing(0.3), key=22)
+    tmg.experiment(3000, "proj-set")
+    tmg.point_estimate("lifp")
+    mesh = make_mesh()
+    cl = np.array([0.5])
+    kw = dict(n_points=400, burn_steps=200, n_chains=8, adapt_step=True)
+    iv_local = qt.MHMCProcessInterval(tmg, **kw)
+    d_local, _ = iv_local(cl)
+    iv_mesh = qt.MHMCProcessInterval(tmg, **kw, mesh=mesh)
+    d_mesh, _ = iv_mesh(cl)
+    assert 0 < iv_mesh.acceptance_rate < 1
+    # median agreement within Monte-Carlo noise of short projected chains
+    assert abs(float(d_mesh[0]) - float(d_local[0])) < 0.5 * float(d_local[0])
