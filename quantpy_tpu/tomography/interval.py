@@ -143,10 +143,16 @@ class MomentInterval(ConfidenceInterval):
                     n_measurements[0],
                 )
             else:
-                povm_flat = self.tmg.povm_matrix.reshape(
-                    -1, self.tmg.povm_matrix.shape[-1]
-                )
-                inv = _left_inv_np(povm_flat) / dim
+                # `_design_inv` lets a caller that builds MANY intervals on
+                # the same measurement design (HolderInterval: one per input
+                # state) share one pseudo-inverse instead of refactorizing
+                # per child
+                inv = getattr(self, "_design_inv", None)
+                if inv is None:
+                    povm_flat = self.tmg.povm_matrix.reshape(
+                        -1, self.tmg.povm_matrix.shape[-1]
+                    )
+                    inv = _left_inv_np(povm_flat) / dim
                 inv = inv.reshape(-1, freq.shape[0], freq.shape[1])
                 mean, variance = l2_moments_from_factor(
                     inv, freq, n_measurements[0]
@@ -1094,6 +1100,20 @@ class HolderInterval(ConfidenceInterval):
         kind = "bootstrap" if self.kind == "boot" else self.kind
         if kind == "moment":
             self.intervals = [MomentInterval(t) for t in self.tmg.tomographs]
+            # all children share one measurement design: factorize its
+            # pseudo-inverse once (at 4 qubits per-child refactorization is
+            # ~a minute of redundant LU on a single-core host)
+            t0 = self.tmg.tomographs[0]
+            if t0.povm_matrix is not None:
+                dim = 2**t0.state.n_qubits
+                shared_inv = (
+                    _left_inv_np(
+                        t0.povm_matrix.reshape(-1, t0.povm_matrix.shape[-1])
+                    )
+                    / dim
+                )
+                for iv in self.intervals:
+                    iv._design_inv = shared_inv
         elif kind == "mhmc":
             if any(t.povm_matrix is None for t in self.tmg.tomographs):
                 raise NotImplementedError(
