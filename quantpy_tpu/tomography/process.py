@@ -53,6 +53,10 @@ class ProcessTomograph:
     key : jax PRNG key or int seed, optional
     """
 
+    #: from this qubit count on, lifp's CPTP projection runs host-chunked
+    #: (cptp_project_bloch_host) instead of as one fused while_loop
+    BIG_N_QUBITS = 5
+
     def __init__(self, channel, input_states="proj4", dst="hs", key=None):
         import jax
 
@@ -202,8 +206,9 @@ class ProcessTomograph:
             from ..config import rdtype
 
             t0 = self.tomographs[0]
-            big = self.channel.n_qubits >= 5  # 1024-dim eigh per Dykstra
-            # iteration: the fused projection exceeds the ~60 s cap there
+            big = self.channel.n_qubits >= self.BIG_N_QUBITS  # 1024-dim
+            # eigh per Dykstra iteration: the fused projection exceeds the
+            # ~60 s per-execution cap there (docs/tpu_constraints.md)
             choi_bloch = process_core.estimate_lifp_factored(
                 self.results,
                 jnp.asarray(self._input_blochs_t(), dtype=rdtype()),

@@ -74,6 +74,20 @@ def test_cptp_projection_host_chunked_matches_fused():
     np.testing.assert_allclose(chunked, fused, atol=1e-7)
 
 
+def test_lifp_big_n_dispatch_matches_fused(monkeypatch):
+    """The big-n lifp branch (host-chunked Dykstra after the factored
+    inversion, used at 5+ qubits) must give the same estimate as the fused
+    path."""
+    true = dephasing(0.4)
+    tmg = ProcessTomograph(true, key=6)
+    tmg.experiment(5000, "proj-set")
+    fused = tmg.point_estimate("lifp", cptp=True)
+    monkeypatch.setattr(ProcessTomograph, "BIG_N_QUBITS", 1)
+    chunked = tmg.point_estimate("lifp", cptp=True)
+    assert choi_dist(fused, chunked) < 1e-4  # Dykstra tolerance scale
+    assert chunked.is_cptp(atol=1e-4)
+
+
 def test_tp_cp_projections():
     tmg = ProcessTomograph(depolarizing(0.5), key=4)
     rng = np.random.default_rng(1)
