@@ -101,23 +101,15 @@ def _pdhg(c_batch, a_matrix, b_batch, tau, sigma, n_iter, tol):
     return x, obj, viol, iters
 
 
-@functools.partial(jax.jit, static_argnames=("n_qubits", "n_chunk"))
-def _pdhg_kron_chunk(
-    povm1, c_batch, b_batch, x, xbar, y, tau, sigma, n_qubits, n_chunk
-):
-    """Run `n_chunk` PDHG iterations with kron-factored matvecs and return
-    the updated state plus the convergence residuals.
-
-    The LP is the polytope-interval one: variables are the traceless bloch
-    components x = bloch[1:], the constraint operator is
-    A = 2^n * (kron povm1 rows)[:, 1:], applied as the factored forward /
-    adjoint chains from kron_core (never materialized — dense at 6 qubits
-    would be 0.8 GB x the delta grid). Host-chunked: the caller loops over
-    chunks and checks the residuals, keeping each device execution short
-    (docs/tpu_constraints.md: single executions are killed at ~60 s).
-    """
+def _kron_ops(static_ctx, povm1):
+    """(fwd, adj) for the kron-factored polytope constraint operator
+    A = 2^n * (kron povm1 rows)[:, 1:] — variables are the traceless bloch
+    components, the matvecs are the factored forward/adjoint chains from
+    kron_core (the dense matrix at 6 qubits would be 0.8 GB x the delta
+    grid)."""
     from ..tomography.kron_core import kron_adjoint_flat, kron_forward_flat
 
+    n_qubits = static_ctx
     dim = 2**n_qubits
 
     def fwd(v):
@@ -128,6 +120,41 @@ def _pdhg_kron_chunk(
 
     def adj(w):
         return dim * kron_adjoint_flat(povm1, n_qubits, w)[..., 1:]
+
+    return fwd, adj
+
+
+def _factors_ops(static_ctx, left, right):
+    """(fwd, adj) for the two-factor operator A = left (x) right (the
+    process polytope constraint matrix, interval.py:483-485 — dense at 4
+    qubits it would be (256*1296) x 65280 ~ 86 GB). Variables travel
+    flattened (..., A*B); constraints flattened (..., S*K)."""
+    a_dim, b_dim = static_ctx
+
+    def fwd(v):
+        vm = v.reshape(v.shape[:-1] + (a_dim, b_dim))
+        out = jnp.einsum("sa,...ab,kb->...sk", left, vm, right, optimize=True)
+        return out.reshape(v.shape[:-1] + (-1,))
+
+    def adj(w):
+        wm = w.reshape(w.shape[:-1] + (left.shape[0], right.shape[0]))
+        out = jnp.einsum("sa,...sk,kb->...ab", left, wm, right, optimize=True)
+        return out.reshape(w.shape[:-1] + (-1,))
+
+    return fwd, adj
+
+
+@functools.partial(jax.jit, static_argnames=("make_ops", "static_ctx", "n_chunk"))
+def _pdhg_matvec_chunk(
+    operands, c_batch, b_batch, x, xbar, y, tau, sigma, make_ops, static_ctx, n_chunk
+):
+    """Run `n_chunk` PDHG iterations with matvecs built by
+    `make_ops(static_ctx, *operands)` and return the updated state plus
+    the convergence residuals. Host-chunked: the caller loops over chunks
+    and checks the residuals, keeping each device execution short
+    (docs/tpu_constraints.md: single executions are killed at ~60 s).
+    """
+    fwd, adj = make_ops(static_ctx, *operands)
 
     def body(carry, _):
         x, xbar, y = carry
@@ -146,6 +173,35 @@ def _pdhg_kron_chunk(
     gap = jnp.max(jnp.abs(obj - d_obj))
     scale = 1.0 + jnp.max(jnp.abs(obj)) + jnp.max(jnp.abs(d_obj))
     return x, xbar, y, obj, viol, res_p, res_d, gap, scale
+
+
+def _solve_chunked(c, b, operands, make_ops, static_ctx, norm, n_iter, tol):
+    """Shared chunked-PDHG driver with residual-based early stopping for
+    the matvec (kron / two-factor) solvers. c and b are flattened
+    (..., D) / (..., K); returns (x, obj, viol, iters)."""
+    if tol is None:
+        tol = 1e-9 if np.dtype(rdtype()) == np.float64 else 3e-5
+    tau = jnp.asarray(0.9 / norm, dtype=rdtype())
+    sigma = jnp.asarray(0.9 / norm, dtype=rdtype())
+    b_scale = 1.0 + float(jnp.max(jnp.abs(b)))
+    c_scale = 1.0 + float(jnp.max(jnp.abs(c)))
+    x = jnp.zeros_like(c)
+    xbar = x
+    y = jnp.zeros_like(b)
+    iters = 0
+    obj = viol = None
+    while iters < n_iter:
+        x, xbar, y, obj, viol, res_p, res_d, gap, scale = _pdhg_matvec_chunk(
+            operands, c, b, x, xbar, y, tau, sigma, make_ops, static_ctx, _CHUNK
+        )
+        iters += _CHUNK
+        if (
+            float(res_p) <= tol * b_scale
+            and float(res_d) <= tol * c_scale
+            and float(gap) <= tol * float(scale)
+        ):
+            break
+    return x, obj, viol, iters
 
 
 def solve_lp_batch_kron(
@@ -167,76 +223,13 @@ def solve_lp_batch_kron(
     c = jnp.asarray(c, dtype=rdtype())
     if c.ndim == 1:
         c = jnp.broadcast_to(c, b.shape[:-1] + c.shape)
-    if tol is None:
-        tol = 1e-9 if np.dtype(rdtype()) == np.float64 else 3e-5
     # ||A||_2 <= 2^n * sigma_max(A1)^n; dropping the trace column only
     # shrinks the norm, so this keeps tau * sigma * ||A||^2 < 1
     a1 = np.asarray(povm1, dtype=np.float64).reshape(-1, 4)
     norm = 2.0**n_qubits * float(np.linalg.svd(a1, compute_uv=False)[0]) ** n_qubits
-    tau = jnp.asarray(0.9 / norm, dtype=rdtype())
-    sigma = jnp.asarray(0.9 / norm, dtype=rdtype())
-
-    b_scale = 1.0 + float(jnp.max(jnp.abs(b)))
-    c_scale = 1.0 + float(jnp.max(jnp.abs(c)))
-    x = jnp.zeros_like(c)
-    xbar = x
-    y = jnp.zeros_like(b)
-    iters = 0
-    obj = viol = None
-    while iters < n_iter:
-        x, xbar, y, obj, viol, res_p, res_d, gap, scale = _pdhg_kron_chunk(
-            povm1, c, b, x, xbar, y, tau, sigma, n_qubits, _CHUNK
-        )
-        iters += _CHUNK
-        if (
-            float(res_p) <= tol * b_scale
-            and float(res_d) <= tol * c_scale
-            and float(gap) <= tol * float(scale)
-        ):
-            break
-    return x, obj, viol, iters
-
-
-@functools.partial(jax.jit, static_argnames=("n_chunk",))
-def _pdhg_factors_chunk(
-    left, right, c_batch, b_batch, x, xbar, y, tau, sigma, n_chunk
-):
-    """Run `n_chunk` PDHG iterations with the two-factor matvec
-    A = left (x) right: variables live as (..., A, B) tables, constraints
-    as (..., S, K) tables, and A x = left @ X @ right^T. Used for the
-    process polytope LP, whose constraint matrix is exactly
-    kron(states_matrix, weighted povm rows) (interval.py:483-485) — dense
-    at 4 qubits it would be (256*1296) x 65280 ~ 86 GB."""
-
-    def fwd(v):
-        return jnp.einsum(
-            "sa,...ab,kb->...sk", left, v, right, optimize=True
-        )
-
-    def adj(w):
-        return jnp.einsum(
-            "sa,...sk,kb->...ab", left, w, right, optimize=True
-        )
-
-    def body(carry, _):
-        x, xbar, y = carry
-        y = jnp.maximum(0.0, y + sigma * (fwd(xbar) - b_batch))
-        x_new = x - tau * (c_batch + adj(y))
-        return (x_new, 2 * x_new - x, y), None
-
-    (x, xbar, y), _ = jax.lax.scan(body, (x, xbar, y), None, length=n_chunk)
-
-    ax = fwd(x)
-    viol = jnp.max(
-        jnp.maximum(ax - b_batch, 0.0), axis=(-2, -1)
+    return _solve_chunked(
+        c, b, (povm1,), _kron_ops, n_qubits, norm, n_iter, tol
     )
-    res_p = jnp.max(viol)
-    res_d = jnp.max(jnp.abs(c_batch + adj(y)))
-    obj = jnp.sum(c_batch * x, axis=(-2, -1))
-    d_obj = -jnp.sum(b_batch * y, axis=(-2, -1))
-    gap = jnp.max(jnp.abs(obj - d_obj))
-    scale = 1.0 + jnp.max(jnp.abs(obj)) + jnp.max(jnp.abs(d_obj))
-    return x, xbar, y, obj, viol, res_p, res_d, gap, scale
 
 
 def solve_lp_batch_factors(
@@ -262,35 +255,23 @@ def solve_lp_batch_factors(
     c = jnp.asarray(c, dtype=rdtype())
     if c.ndim == 2:
         c = jnp.broadcast_to(c, b.shape[:-2] + c.shape)
-    if tol is None:
-        tol = 1e-9 if np.dtype(rdtype()) == np.float64 else 3e-5
+    a_dim, b_dim = c.shape[-2], c.shape[-1]
     # ||kron(L, R)||_2 = sigma_max(L) sigma_max(R)
     norm = float(
         np.linalg.svd(np.asarray(left, np.float64), compute_uv=False)[0]
         * np.linalg.svd(np.asarray(right, np.float64), compute_uv=False)[0]
     )
-    tau = jnp.asarray(0.9 / norm, dtype=rdtype())
-    sigma = jnp.asarray(0.9 / norm, dtype=rdtype())
-
-    b_scale = 1.0 + float(jnp.max(jnp.abs(b)))
-    c_scale = 1.0 + float(jnp.max(jnp.abs(c)))
-    x = jnp.zeros_like(c)
-    xbar = x
-    y = jnp.zeros_like(b)
-    iters = 0
-    obj = viol = None
-    while iters < n_iter:
-        x, xbar, y, obj, viol, res_p, res_d, gap, scale = _pdhg_factors_chunk(
-            left, right, c, b, x, xbar, y, tau, sigma, _CHUNK
-        )
-        iters += _CHUNK
-        if (
-            float(res_p) <= tol * b_scale
-            and float(res_d) <= tol * c_scale
-            and float(gap) <= tol * float(scale)
-        ):
-            break
-    return x, obj, viol, iters
+    x, obj, viol, iters = _solve_chunked(
+        c.reshape(c.shape[:-2] + (-1,)),
+        b.reshape(b.shape[:-2] + (-1,)),
+        (left, right),
+        _factors_ops,
+        (a_dim, b_dim),
+        norm,
+        n_iter,
+        tol,
+    )
+    return x.reshape(x.shape[:-1] + (a_dim, b_dim)), obj, viol, iters
 
 
 def solve_lp_batch(c, a_matrix, b_batch, n_iter: int = 20000, tol: float | None = None):

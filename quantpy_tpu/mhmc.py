@@ -26,6 +26,7 @@ __all__ = [
     "MHMC",
     "basic_update",
     "normalized_update",
+    "resolve_jump_distr",
     "split_rhat",
     "effective_sample_size",
 ]
@@ -55,6 +56,28 @@ _JUMP_DISTRS = {
     "laplace": lambda key, shape, dtype: jax.random.laplace(key, shape, dtype),
     "cauchy": lambda key, shape, dtype: jax.random.cauchy(key, shape, dtype),
 }
+
+
+def resolve_jump_distr(jump_distr):
+    """Map a proposal spec (None / name / callable) to a sampler callable,
+    with the shared validation message (used by MHMC and the mesh-sharded
+    chain helpers)."""
+    if jump_distr is None:
+        return _JUMP_DISTRS["normal"]
+    if isinstance(jump_distr, str):
+        if jump_distr not in _JUMP_DISTRS:
+            raise ValueError(
+                f"Unknown jump_distr {jump_distr!r}; available: "
+                f"{sorted(_JUMP_DISTRS)} or a callable(key, shape, dtype)"
+            )
+        return _JUMP_DISTRS[jump_distr]
+    if callable(jump_distr):
+        return jump_distr
+    raise NotImplementedError(
+        "jump_distr must be None, a name, or a jax-traceable "
+        "callable(key, shape, dtype) (scipy frozen distributions "
+        "cannot run inside the device chain)"
+    )
 
 
 @functools.partial(
@@ -169,23 +192,7 @@ class MHMC:
         x_init=None,
         key=None,
     ):
-        if jump_distr is None:
-            self.jump_fn = _JUMP_DISTRS["normal"]
-        elif isinstance(jump_distr, str):
-            if jump_distr not in _JUMP_DISTRS:
-                raise ValueError(
-                    f"Unknown jump_distr {jump_distr!r}; available: "
-                    f"{sorted(_JUMP_DISTRS)} or a callable(key, shape, dtype)"
-                )
-            self.jump_fn = _JUMP_DISTRS[jump_distr]
-        elif callable(jump_distr):
-            self.jump_fn = jump_distr
-        else:
-            raise NotImplementedError(
-                "jump_distr must be None, a name, or a jax-traceable "
-                "callable(key, shape, dtype) (scipy frozen distributions "
-                "cannot run inside the device chain)"
-            )
+        self.jump_fn = resolve_jump_distr(jump_distr)
         if not symmetric:
             raise NotImplementedError("Asymmetric proposals are not supported")
         self.target_logpdf = target_logpdf

@@ -33,6 +33,7 @@ __all__ = [
     "sharded_kron_bootstrap_distances",
     "sharded_process_bootstrap_distances",
     "sharded_coverage",
+    "sharded_mhmc_process_chains",
     "sharded_mhmc_state_chains",
     "povm_sharded_probabilities",
 ]
@@ -268,6 +269,68 @@ def sharded_coverage(
     return np.asarray(sums, dtype=np.float64) / n_trials
 
 
+def _sharded_chains(
+    mesh: Mesh,
+    key,
+    x_init,
+    extra_arrays,
+    make_fns,
+    step: float,
+    n_chains: int,
+    n_samples: int,
+    burn_steps: int,
+    thinning: int,
+    jump_distr,
+):
+    """Shared scaffold for mesh-sharded Metropolis chains.
+
+    Chains are embarrassingly parallel (the reference runs ONE sequential
+    Python chain, mhmc.py:80-84; the single-chip extension vmaps them,
+    mhmc.sample_chains); here each device runs its n_chains/n_dev share —
+    same Metropolis kernel, own key folds, each with its own burn-in — and
+    the sample gather is the only ICI traffic. `make_fns(*extra_arrays)`
+    builds the (logpdf, update_rule) pair inside the mapped region from
+    the replicated array operands.
+    """
+    from ..mhmc import _run_chain, resolve_jump_distr
+
+    n_dev = mesh.devices.size
+    if n_chains % n_dev:
+        raise ValueError(f"n_chains={n_chains} must divide by {n_dev} devices")
+    per_dev = n_chains // n_dev
+    keys = jax.random.split(key, n_dev)
+    total = int(n_samples) * int(thinning) + int(burn_steps)
+    jump_fn = resolve_jump_distr(jump_distr)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P()) + (P(),) * len(extra_arrays),
+        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+        check_vma=False,
+    )
+    def run(keys_shard, x0, *arrs):
+        logpdf, update_rule = make_fns(*arrs)
+
+        def one(k):
+            xs, acc = _run_chain(
+                k, x0, logpdf, update_rule, jump_fn, step, total, 1
+            )
+            kept = xs[int(burn_steps) :]
+            return kept[int(thinning) - 1 :: int(thinning)], acc
+
+        return jax.vmap(one)(jax.random.split(keys_shard[0], per_dev))
+
+    xs, acc = jax.jit(run)(
+        keys,
+        jnp.asarray(x_init, dtype=rdtype()),
+        *[jnp.asarray(a, dtype=rdtype()) for a in extra_arrays],
+    )
+    import numpy as np
+
+    return np.asarray(xs), float(np.sum(np.asarray(acc))) / (n_chains * total)
+
+
 def sharded_mhmc_state_chains(
     mesh: Mesh,
     key,
@@ -283,65 +346,29 @@ def sharded_mhmc_state_chains(
     thinning: int = 1,
     jump_distr=None,
 ):
-    """Independent MHMC likelihood chains sharded over the mesh.
+    """Independent state-NLL likelihood chains sharded over the mesh.
 
-    Chains are embarrassingly parallel (the reference runs ONE sequential
-    Python chain, mhmc.py:80-84; the single-chip extension vmaps them,
-    mhmc.sample_chains); here each device runs its n_chains/n_dev share of
-    chains — same Metropolis kernel, own key folds, each with its own
-    burn-in — and the sample gather is the only ICI traffic. The target is
-    the (optionally count-scaled) state NLL over Cholesky parameters
-    (state_core.nll_tril), evaluated against the dense weighted design.
+    The target is the (optionally count-scaled) state NLL over Cholesky
+    parameters (state_core.nll_tril) against the dense weighted design —
+    identical to MHMCStateInterval's single-device chain.
 
     Returns (samples (n_chains, n_samples, dim), acceptance_rate).
     """
-    from ..mhmc import _JUMP_DISTRS, _run_chain, normalized_update
+    from ..mhmc import normalized_update
     from ..tomography import state_core
 
-    n_dev = mesh.devices.size
-    if n_chains % n_dev:
-        raise ValueError(f"n_chains={n_chains} must divide by {n_dev} devices")
-    per_dev = n_chains // n_dev
-    keys = jax.random.split(key, n_dev)
-    total = int(n_samples) * int(thinning) + int(burn_steps)
-    if jump_distr is None:
-        jump_fn = _JUMP_DISTRS["normal"]
-    elif isinstance(jump_distr, str):
-        jump_fn = _JUMP_DISTRS[jump_distr]
-    else:
-        jump_fn = jump_distr
     scale = float(scale)
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(BATCH_AXIS), P(), P(), P()),
-        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
-        check_vma=False,
-    )
-    def run(keys_shard, x0, povm_w, freq):
+    def make_fns(povm_w, freq):
         def logpdf(x):
             return -scale * state_core.nll_tril(x, povm_w, freq, n_qubits)
 
-        def one(k):
-            xs, acc = _run_chain(
-                k, x0, logpdf, normalized_update, jump_fn, step, total, 1
-            )
-            kept = xs[int(burn_steps) :]
-            return kept[int(thinning) - 1 :: int(thinning)], acc
+        return logpdf, normalized_update
 
-        ks = jax.random.split(keys_shard[0], per_dev)
-        return jax.vmap(one)(ks)
-
-    xs, acc = jax.jit(run)(
-        keys,
-        jnp.asarray(x_init, dtype=rdtype()),
-        jnp.asarray(povm_flat_w, dtype=rdtype()),
-        jnp.asarray(frequencies, dtype=rdtype()),
+    return _sharded_chains(
+        mesh, key, x_init, (povm_flat_w, frequencies), make_fns,
+        step, n_chains, n_samples, burn_steps, thinning, jump_distr,
     )
-    import numpy as np
-
-    return np.asarray(xs), float(np.sum(np.asarray(acc))) / (n_chains * total)
 
 
 def sharded_mhmc_process_chains(
@@ -361,67 +388,34 @@ def sharded_mhmc_process_chains(
     cptp_iter: int = 100,
 ):
     """Process-tomography twin of :func:`sharded_mhmc_state_chains`:
-    independent CPTP-projected Metropolis chains over Choi bloch vectors
-    sharded over the mesh. The target is the factored process NLL (the
-    dense (S*K, 16^n) operator is never formed) and every proposal is
-    Dykstra-projected into CPTP, exactly like the single-device chain
-    (ProcessTomograph._cptp_update_rule).
+    CPTP-projected Metropolis chains over Choi bloch vectors. The target
+    is the factored process NLL (the dense (S*K, 16^n) operator is never
+    formed) and every proposal is Dykstra-projected into CPTP with the
+    same tolerance as the single-device chain
+    (ProcessTomograph._cptp_update_rule -> _cptp_tol(1e-12)).
 
     Returns (samples (n_chains, n_samples, 16^n), acceptance_rate).
     """
-    from ..mhmc import _JUMP_DISTRS, _run_chain
     from ..tomography import process_core, state_core
 
-    n_dev = mesh.devices.size
-    if n_chains % n_dev:
-        raise ValueError(f"n_chains={n_chains} must divide by {n_dev} devices")
-    per_dev = n_chains // n_dev
-    keys = jax.random.split(key, n_dev)
-    total = int(n_samples) * int(thinning) + int(burn_steps)
-    if jump_distr is None:
-        jump_fn = _JUMP_DISTRS["normal"]
-    elif isinstance(jump_distr, str):
-        jump_fn = _JUMP_DISTRS[jump_distr]
-    else:
-        jump_fn = jump_distr
+    tol = process_core.default_cptp_tol(1e-12)
 
-    def update_rule(x, delta, s):
-        return process_core.cptp_project_bloch(x + s * delta, cptp_iter)
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(BATCH_AXIS), P(), P(), P(), P(), P()),
-        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
-        check_vma=False,
-    )
-    def run(keys_shard, x0, b, povm, n_meas, flat):
+    def make_fns(b, povm, n_meas, flat):
         w = state_core.weighted_povm_flat(povm, n_meas)
 
         def logpdf(x):
             return -process_core.process_nll_factored(x, b, w, flat)
 
-        def one(k):
-            xs, acc = _run_chain(
-                k, x0, logpdf, update_rule, jump_fn, step, total, 1
-            )
-            kept = xs[int(burn_steps) :]
-            return kept[int(thinning) - 1 :: int(thinning)], acc
+        def update_rule(x, delta, s):
+            return process_core.cptp_project_bloch(x + s * delta, cptp_iter, tol)
 
-        ks = jax.random.split(keys_shard[0], per_dev)
-        return jax.vmap(one)(ks)
+        return logpdf, update_rule
 
-    xs, acc = jax.jit(run)(
-        keys,
-        jnp.asarray(x_init, dtype=rdtype()),
-        jnp.asarray(input_blochs_t, dtype=rdtype()),
-        jnp.asarray(povm_matrix, dtype=rdtype()),
-        jnp.asarray(n_measurements, dtype=rdtype()),
-        jnp.asarray(flat_counts, dtype=rdtype()),
+    return _sharded_chains(
+        mesh, key, x_init,
+        (input_blochs_t, povm_matrix, n_measurements, flat_counts), make_fns,
+        step, n_chains, n_samples, burn_steps, thinning, jump_distr,
     )
-    import numpy as np
-
-    return np.asarray(xs), float(np.sum(np.asarray(acc))) / (n_chains * total)
 
 
 def povm_sharded_probabilities(mesh: Mesh, povm_flat, bloch):
