@@ -74,7 +74,9 @@ class StateTomograph:
         `DENSE_POVM_MAX_ELEMENTS`, the experiment runs on the kron-factored
         path: `povm_matrix` stays None, `povm_kron` holds the (m1, p1, 4)
         block, and estimation uses the factored estimators (uniform shots
-        only; warm_start requires the dense path).
+        only). Kron-mode warm_start repeats the SAME design and merges the
+        multinomial counts — statistically identical to the reference's
+        row stacking for identical designs.
         """
         n = self.state.n_qubits
         povm_block = None
@@ -84,11 +86,47 @@ class StateTomograph:
             povm_block = _single_qubit_preset(povm)
         elif isinstance(povm, np.ndarray) and povm.shape[-1] == 4 and n > 1:
             povm_block = povm if povm.ndim == 3 else povm[None]
-        if warm_start and self.povm_matrix is None and getattr(self, "povm_kron", None) is not None:
-            raise NotImplementedError(
-                "warm_start out of kron-factored mode is not supported; the "
-                "previous design was never materialized"
+        kron_mode = (
+            self.povm_matrix is None
+            and getattr(self, "povm_kron", None) is not None
+        )
+        if warm_start and kron_mode:
+            # kron-mode warm start: for the SAME factored design with
+            # uniform shots, concatenating reweighted POVM rows (the
+            # reference recipe, state.py:116-124) is statistically
+            # identical to summing the multinomial counts — every
+            # estimator consumes only the weighted frequency table.
+            # Documented divergence: merged counts instead of stacked
+            # rows (the design is never materialized to stack).
+            block = (
+                None
+                if povm_block is None
+                else np.asarray(povm_block, dtype=np.float64)
             )
+            if (
+                block is None
+                or block.shape != self.povm_kron.shape
+                or not np.allclose(block, self.povm_kron)
+            ):
+                raise NotImplementedError(
+                    "kron-mode warm_start supports only repeating the same "
+                    "factored design; pass the identical single-qubit block"
+                )
+            if not np.issubdtype(type(n_measurements), np.integer):
+                raise NotImplementedError(
+                    "kron-mode warm_start needs uniform integer shots"
+                )
+            from . import kron_core
+
+            counts = kron_core.kron_simulate(
+                self._next_key(),
+                self.povm_kron,
+                self.state.bloch_device(),
+                float(n_measurements),
+            )
+            self._results = self._results + np.asarray(counts, dtype=np.float64)
+            self.n_measurements = self.n_measurements + float(n_measurements)
+            return
         if povm_block is not None:
             m1, p1, _ = povm_block.shape
             dense_elements = (m1 * p1 * 4) ** n
@@ -96,8 +134,8 @@ class StateTomograph:
             if dense_elements > self.DENSE_POVM_MAX_ELEMENTS and uniform:
                 if warm_start:
                     raise NotImplementedError(
-                        "warm_start requires the dense-POVM path; design too "
-                        "large to materialize"
+                        "warm_start into kron-factored mode needs a prior "
+                        "kron-mode experiment with the same design"
                     )
                 from . import kron_core
 

@@ -99,8 +99,13 @@ def test_state_tomograph_kron_mode():
     assert float(qt.hs_dst(est2, tmg.state)) < 0.3
     with pytest.raises(NotImplementedError):
         tmg.point_estimate("mle-constr")
+    # same-design kron warm_start merges counts (round-2 extension);
+    # a different design still raises
+    before = float(np.sum(tmg.results))  # 729 POVMs x 4000 shots
+    tmg.experiment(1000, "proj-set", warm_start=True)
+    np.testing.assert_allclose(float(np.sum(tmg.results)), before * 5000 / 4000)
     with pytest.raises(NotImplementedError):
-        tmg.experiment(1000, "proj-set", warm_start=True)
+        tmg.experiment(1000, "sic", warm_start=True)
     # small designs still use the dense path
     t2 = qt.StateTomograph(qt.GHZ(2), key=89)
     t2.experiment(1000, "proj-set")

@@ -124,6 +124,26 @@ def test_warm_start_accumulates():
     assert float(qt.hs_dst(est, qt.zero(1))) < 0.05
 
 
+def test_warm_start_kron_mode_merges_counts(monkeypatch):
+    """Kron-mode warm_start (same design, uniform shots) merges counts —
+    the estimate should sharpen like the dense-path row stacking does."""
+    monkeypatch.setattr(StateTomograph, "DENSE_POVM_MAX_ELEMENTS", 1)
+    tmg = StateTomograph(qt.GHZ(2), key=18)
+    tmg.experiment(500, "proj-set")
+    assert tmg.povm_matrix is None and tmg.povm_kron is not None
+    first_total = float(np.sum(tmg.results))
+    tmg.experiment(1500, "proj-set", warm_start=True)
+    np.testing.assert_allclose(float(np.sum(tmg.results)), first_total * 4)
+    np.testing.assert_allclose(tmg.n_measurements, 2000.0)
+    est = tmg.point_estimate("lin")
+    assert float(qt.hs_dst(est, qt.GHZ(2))) < 0.1
+    # a different design must be rejected (the merge needs identical rows)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        tmg.experiment(100, "sic", warm_start=True)
+
+
 def test_batched_bootstrap_style_estimation():
     state = qt.GHZ(2)
     tmg = StateTomograph(state, key=9)
