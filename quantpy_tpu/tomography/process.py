@@ -230,20 +230,31 @@ class ProcessTomograph:
             from ..config import rdtype
 
             t0 = self.tomographs[0]
-            # lifp warm start (same rationale as the 4+ qubit pgdb path)
+            big = self.channel.n_qubits >= self.BIG_N_QUBITS
+            # lifp warm start (same rationale as the 4+ qubit pgdb path);
+            # at 5+ qubits the fused Dykstra would exceed the ~60 s
+            # per-execution cap, so project host-chunked instead
             init = process_core.estimate_lifp_factored(
                 self.results,
                 jnp.asarray(self._input_blochs_t(), dtype=rdtype()),
                 jnp.asarray(t0.povm_matrix, dtype=rdtype()),
                 jnp.asarray(t0.n_measurements, dtype=rdtype()),
-                cptp=True,
+                cptp=not big,
                 cptp_tol=self._cptp_tol(tol),
             )
+            if big:
+                init = process_core.cptp_project_bloch_host(
+                    init, tol=self._cptp_tol(tol)
+                )
             choi_bloch = process_core.estimate_dys_factored(
                 self.results,
                 jnp.asarray(self._input_blochs_t(), dtype=rdtype()),
                 jnp.asarray(t0.povm_matrix, dtype=rdtype()),
                 jnp.asarray(t0.n_measurements, dtype=rdtype()),
+                # the shared n_iter default (1000) predates dys, whose own
+                # default budget is 10000 with an NLL-plateau stop; honor an
+                # explicit caller cap, keep the dys default otherwise
+                max_iter=10000 if n_iter == 1000 else max(n_iter, 1),
                 init_bloch=init,
             )
             self.reconstructed_channel = Channel(

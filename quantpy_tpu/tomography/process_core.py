@@ -690,7 +690,7 @@ def estimate_dys_factored(
     n_measurements,
     max_iter: int = 10000,
     tol: float | None = None,
-    chunk: int = 500,
+    chunk: int | None = None,
     gamma: float | None = None,
     init_bloch=None,
 ):
@@ -713,6 +713,11 @@ def estimate_dys_factored(
         counts, input_blochs_t, povm_matrix, n_measurements
     )
     d1 = b.shape[-1]
+    big = d1 >= 1024  # 5+ qubits: each iteration carries a 1024+-dim eigh
+    if chunk is None:
+        # keep one device call well under the ~60 s execution cap
+        # (docs/tpu_constraints.md): measured ~0.12 s/eigh at d1=1024
+        chunk = 200 if big else 500
     if gamma is None:
         gamma = 0.5 / d1
     if tol is None:
@@ -735,6 +740,8 @@ def estimate_dys_factored(
         last_nll = nll_now
     # x_g is CP by construction; a final short Dykstra squares away the
     # (already small) TP residual
+    if big:
+        return cptp_project_bloch_host(x_g, max_iter=200, chunk=100)
     return cptp_project_bloch(x_g, 200)
 
 
