@@ -175,14 +175,23 @@ def _pdhg_matvec_chunk(
     return x, xbar, y, obj, viol, res_p, res_d, gap, scale
 
 
-def _solve_chunked(c, b, operands, make_ops, static_ctx, norm, n_iter, tol):
+def _solve_chunked(
+    c, b, operands, make_ops, static_ctx, norm, n_iter, tol,
+    tau=None, sigma=None,
+):
     """Shared chunked-PDHG driver with residual-based early stopping for
     the matvec (kron / two-factor) solvers. c and b are flattened
-    (..., D) / (..., K); returns (x, obj, viol, iters)."""
+    (..., D) / (..., K); returns (x, obj, viol, iters). `tau`/`sigma`
+    override the scalar 0.9/norm steps with per-variable/per-constraint
+    arrays (diagonal preconditioning)."""
     if tol is None:
         tol = 1e-9 if np.dtype(rdtype()) == np.float64 else 3e-5
-    tau = jnp.asarray(0.9 / norm, dtype=rdtype())
-    sigma = jnp.asarray(0.9 / norm, dtype=rdtype())
+    if tau is None:
+        tau = jnp.asarray(0.9 / norm, dtype=rdtype())
+        sigma = jnp.asarray(0.9 / norm, dtype=rdtype())
+    else:
+        tau = jnp.asarray(tau, dtype=rdtype())
+        sigma = jnp.asarray(sigma, dtype=rdtype())
     b_scale = 1.0 + float(jnp.max(jnp.abs(b)))
     c_scale = 1.0 + float(jnp.max(jnp.abs(c)))
     x = jnp.zeros_like(c)
@@ -256,10 +265,20 @@ def solve_lp_batch_factors(
     if c.ndim == 2:
         c = jnp.broadcast_to(c, b.shape[:-2] + c.shape)
     a_dim, b_dim = c.shape[-2], c.shape[-1]
-    # ||kron(L, R)||_2 = sigma_max(L) sigma_max(R)
-    norm = float(
-        np.linalg.svd(np.asarray(left, np.float64), compute_uv=False)[0]
-        * np.linalg.svd(np.asarray(right, np.float64), compute_uv=False)[0]
+    # Pock-Chambolle diagonal preconditioning (alpha = 1): per-variable
+    # tau_j = 1/sum_i |A_ij| and per-constraint sigma_i = 1/sum_j |A_ij|.
+    # For A = kron(L, R) both abs-sums are outer products of the factors'
+    # abs-sums — no materialization. The scalar 0.9/||A|| steps stall on
+    # this badly row-scaled LP (the 4-qubit process polytope ran its full
+    # 20k-iteration budget without reaching feasibility).
+    l_abs = np.abs(np.asarray(left, np.float64))
+    r_abs = np.abs(np.asarray(right, np.float64))
+    eps = 1e-30
+    tau = 1.0 / np.maximum(
+        np.outer(l_abs.sum(axis=0), r_abs.sum(axis=0)).reshape(-1), eps
+    )
+    sigma = 1.0 / np.maximum(
+        np.outer(l_abs.sum(axis=1), r_abs.sum(axis=1)).reshape(-1), eps
     )
     x, obj, viol, iters = _solve_chunked(
         c.reshape(c.shape[:-2] + (-1,)),
@@ -267,9 +286,11 @@ def solve_lp_batch_factors(
         (left, right),
         _factors_ops,
         (a_dim, b_dim),
-        norm,
+        1.0,
         n_iter,
         tol,
+        tau=tau,
+        sigma=sigma,
     )
     return x.reshape(x.shape[:-1] + (a_dim, b_dim)), obj, viol, iters
 
