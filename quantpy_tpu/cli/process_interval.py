@@ -7,7 +7,7 @@ and emits the Choi bloch vector plus (optionally) fidelity bands and
 Hilbert-Schmidt radii.
 
 TPU-native extensions over the reference script: `--method` selects the
-estimator (lifp/pgdb/states), `--interval` the CI family
+estimator (lifp/pgdb/states/dys), `--interval` the CI family
 (moment/bootstrap/mhmc/polytope).
 """
 
@@ -96,7 +96,7 @@ def run(
 
 def main(args=None):
     parsed = build_parser(
-        __doc__, methods=("lifp", "pgdb", "states")
+        __doc__, methods=("lifp", "pgdb", "states", "dys")
     ).parse_args(args)
     emit(
         run(

@@ -57,6 +57,18 @@ def test_state_cli_no_ci(state_fixture, tmp_path):
 
 
 @pytest.mark.skipif(not os.path.exists(REF_FIXTURE), reason="no reference fixture")
+def test_process_cli_dys_method(tmp_path):
+    """The 'dys' CPTP-MLE estimator (no reference counterpart) is wired
+    through the CLI method selector."""
+    out_path = tmp_path / "out.json"
+    process_interval.main(["-i", REF_FIXTURE, "-o", str(out_path), "--method", "dys"])
+    out = json.loads(out_path.read_text())
+    choi_bloch = np.asarray(out["process"])
+    assert choi_bloch.shape == (16,)
+    assert abs(choi_bloch[0] - 0.5) < 0.05
+
+
+@pytest.mark.skipif(not os.path.exists(REF_FIXTURE), reason="no reference fixture")
 def test_process_cli_reference_fixture(tmp_path):
     """Run the reference's worked 1-qubit QPT example end to end."""
     out_path = tmp_path / "out.json"
