@@ -243,8 +243,12 @@ class ProcessTomograph:
                 cptp_tol=self._cptp_tol(tol),
             )
             if big:
+                # a warm START only needs rough feasibility — 200 Dykstra
+                # iterations, not the full projection (dys itself enforces
+                # CPTP at its optimum; measured at 5q: same final
+                # hs-to-truth, ~5 min less wall time)
                 init = process_core.cptp_project_bloch_host(
-                    init, tol=self._cptp_tol(tol)
+                    init, max_iter=200, tol=self._cptp_tol(tol)
                 )
             choi_bloch = process_core.estimate_dys_factored(
                 self.results,
