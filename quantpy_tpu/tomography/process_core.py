@@ -176,6 +176,37 @@ def cp_project_bloch(choi_bloch):
     return matrix_to_bloch(rho)
 
 
+@functools.partial(jax.jit, static_argnames=("ns_iter",))
+def cp_project_bloch_ns(choi_bloch, ns_iter: int = 34):
+    """PSD projection via the matrix sign function computed with
+    Newton-Schulz iterations — pure matmuls, no eigendecomposition.
+
+    max(A, 0) = (A + |A|)/2 with |A| = A sign(A); sign(A) from the cubic
+    Newton-Schulz map S <- S(3I - S^2)/2, which converges for
+    ||S_0||_2 <= 1 (start S_0 = A/||A||_F). On the target TPU a 4096-dim
+    f32 eigh costs ~13 s while ns_iter matmuls cost milliseconds — this
+    is the MXU-native route for the large-n Dykstra cleanups. Accuracy:
+    eigenvalues below ~1.5^-ns_iter * ||A|| keep ~half their magnitude
+    (absolute error tiny in norm); equality with the eigh path is tested
+    to 1e-5 * ||A||."""
+    choi_bloch = jnp.asarray(choi_bloch, dtype=rdtype())
+    n2 = 2 * _n_from_d2(choi_bloch.shape[-1])
+    a = bloch_to_matrix(choi_bloch, n2)
+    fro = jnp.sqrt(
+        jnp.sum(jnp.abs(a) ** 2, axis=(-2, -1), keepdims=True).real
+    )
+    s = a / jnp.maximum(fro, 1e-30).astype(a.dtype)
+    eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+
+    def body(s, _):
+        return 0.5 * s @ (3.0 * eye - s @ s), None
+
+    s, _ = jax.lax.scan(body, s, None, length=ns_iter)
+    psd = 0.5 * (a + a @ s)
+    psd = 0.5 * (psd + jnp.swapaxes(psd.conj(), -1, -2))
+    return matrix_to_bloch(psd)
+
+
 def default_cptp_tol(tol: float | None = None) -> float:
     """Dykstra tolerance floored at working precision (f32 on TPU).
 
@@ -232,13 +263,14 @@ def cptp_project_bloch(choi_bloch, max_iter: int = 2000, tol: float | None = Non
     return x
 
 
-def _dykstra_step(x, p, q):
+def _dykstra_step(x, p, q, cp_fn=None):
     """One textbook two-set Dykstra update; returns (x, p, q, max crit)."""
+    cp_fn = cp_fn or cp_project_bloch
     s = x + p
     y = tp_project_bloch(s)
     p_new = s - y
     t = y + q
-    x_new = cp_project_bloch(t)
+    x_new = cp_fn(t)
     q_new = t - x_new
     crit = jnp.sum((p_new - p) ** 2, axis=-1) + jnp.sum(
         (q_new - q) ** 2, axis=-1
@@ -246,14 +278,17 @@ def _dykstra_step(x, p, q):
     return x_new, p_new, q_new, jnp.max(crit)
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps",))
-def _dykstra_chunk(x, p, q, n_steps: int):
+@functools.partial(jax.jit, static_argnames=("n_steps", "cp"))
+def _dykstra_chunk(x, p, q, n_steps: int, cp: str = "eigh"):
     """`n_steps` Dykstra iterations as one device program (for the
-    host-chunked projection at 5+ qubits)."""
+    host-chunked projection at 5+ qubits). `cp` selects the CP-projection
+    engine: exact 'eigh' or matmul-only 'ns' (Newton-Schulz sign
+    iteration; the MXU route for 4096-dim Choi matrices)."""
+    cp_fn = cp_project_bloch_ns if cp == "ns" else cp_project_bloch
 
     def body(carry, _):
         x, p, q, _ = carry
-        return _dykstra_step(x, p, q), None
+        return _dykstra_step(x, p, q, cp_fn), None
 
     (x, p, q, crit), _ = jax.lax.scan(
         body, (x, p, q, jnp.asarray(jnp.inf, rdtype())), None, length=n_steps
@@ -262,20 +297,27 @@ def _dykstra_chunk(x, p, q, n_steps: int):
 
 
 def cptp_project_bloch_host(
-    choi_bloch, max_iter: int = 2000, tol: float | None = None, chunk: int = 100
+    choi_bloch,
+    max_iter: int = 2000,
+    tol: float | None = None,
+    chunk: int = 100,
+    cp: str = "eigh",
 ):
     """Host-chunked twin of :func:`cptp_project_bloch` for large Choi
     matrices: at 5 qubits each Dykstra iteration carries a 1024-dim eigh,
     so the fused while_loop exceeds the axon runtime's ~60 s
     single-execution cap (docs/tpu_constraints.md); here `chunk` iterations
-    run per device call with the stop criterion checked between calls."""
+    run per device call with the stop criterion checked between calls.
+    `cp='ns'` swaps the per-iteration eigh for the Newton-Schulz matmul
+    projection (cp_project_bloch_ns) — ~ms instead of ~13 s per 4096-dim
+    CP step, at an accuracy floor ample for short denoising cleanups."""
     x = jnp.asarray(choi_bloch, dtype=rdtype())
     p = jnp.zeros_like(x)
     q = jnp.zeros_like(x)
     tol = default_cptp_tol(tol)
     done = 0
     while done < max_iter:
-        x, p, q, crit = _dykstra_chunk(x, p, q, min(chunk, max_iter - done))
+        x, p, q, crit = _dykstra_chunk(x, p, q, min(chunk, max_iter - done), cp)
         done += chunk
         if float(np.asarray(crit)) <= tol:
             break

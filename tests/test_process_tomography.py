@@ -61,6 +61,37 @@ def test_cptp_projection_properties():
     assert choi_dist(good, fixed) < 1e-6
 
 
+def test_cp_projection_newton_schulz_matches_eigh():
+    """The matmul-only Newton-Schulz CP projection (the MXU route for
+    4096-dim Choi matrices, where eigh costs ~13 s on the chip) agrees
+    with the exact eigh clip."""
+    from quantpy_tpu.ops.paulis import np_matrix_to_bloch
+
+    rng = np.random.default_rng(3)
+    for d in (4, 16):
+        m = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+        a = (m + m.conj().T) / 2
+        bloch = np_matrix_to_bloch(a)
+        eigh = np.asarray(process_core.cp_project_bloch(bloch))
+        ns = np.asarray(process_core.cp_project_bloch_ns(bloch))
+        np.testing.assert_allclose(ns, eigh, atol=1e-6 * np.linalg.norm(a))
+
+
+def test_dykstra_ns_engine_matches_eigh():
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(16, 16))
+    bad = qt.Qobj(((m + m.T) / 8 + np.eye(16)).astype(complex))
+    ref = np.asarray(
+        process_core.cptp_project_bloch_host(bad.bloch, max_iter=50, chunk=10)
+    )
+    ns = np.asarray(
+        process_core.cptp_project_bloch_host(
+            bad.bloch, max_iter=50, chunk=10, cp="ns"
+        )
+    )
+    np.testing.assert_allclose(ns, ref, atol=1e-5)
+
+
 def test_cptp_projection_host_chunked_matches_fused():
     # the host-chunked Dykstra (used at 5+ qubits to stay under the axon
     # ~60 s per-execution cap) must agree with the fused while_loop version

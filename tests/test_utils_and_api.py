@@ -134,8 +134,10 @@ def test_kron_mode_guards():
     """kron-mode tomographs reject unsupported operations loudly."""
     tmg = qt.StateTomograph(qt.GHZ(6), key=91)
     tmg.experiment(500, "proj-set")
+    # same-design warm_start merges counts (round-2 extension); a
+    # DIFFERENT design still rejects loudly
     with pytest.raises(NotImplementedError):
-        tmg.experiment(500, "proj-set", warm_start=True)
+        tmg.experiment(500, "sic", warm_start=True)
     # custom distance callables are rejected on the kron bootstrap path
     tmg2 = qt.StateTomograph(qt.GHZ(6), dst=lambda a, b: 0.0, key=92)
     tmg2.experiment(500, "proj-set")
