@@ -95,7 +95,7 @@ def main() -> None:
         t3 = time.time()
         cleaned = np.asarray(
             process_core.cptp_project_bloch_host(
-                raw, max_iter=args.cleanup_iters, chunk=5
+                raw, max_iter=args.cleanup_iters, chunk=5, cp="ns"
             ),
             dtype=np.float64,
         )
