@@ -218,8 +218,11 @@ class ProcessTomograph:
                 cptp_tol=self._cptp_tol(tol),
             )
             if cptp and big:
+                # cp='ns': the matmul-only Newton-Schulz engine — measured
+                # at 5q/2000 iters: 61.5 s vs 370.8 s for eigh at identical
+                # hs-to-truth and TP residual (docs/benchmarks.md)
                 choi_bloch = process_core.cptp_project_bloch_host(
-                    choi_bloch, tol=self._cptp_tol(tol)
+                    choi_bloch, tol=self._cptp_tol(tol), chunk=200, cp="ns"
                 )
             self.reconstructed_channel = Channel(
                 Qobj(np.asarray(choi_bloch, dtype=np.float64))
@@ -248,7 +251,7 @@ class ProcessTomograph:
                 # CPTP at its optimum; measured at 5q: same final
                 # hs-to-truth, ~5 min less wall time)
                 init = process_core.cptp_project_bloch_host(
-                    init, max_iter=200, tol=self._cptp_tol(tol)
+                    init, max_iter=200, tol=self._cptp_tol(tol), cp="ns"
                 )
             choi_bloch = process_core.estimate_dys_factored(
                 self.results,

@@ -783,7 +783,7 @@ def estimate_dys_factored(
     # x_g is CP by construction; a final short Dykstra squares away the
     # (already small) TP residual
     if big:
-        return cptp_project_bloch_host(x_g, max_iter=200, chunk=100)
+        return cptp_project_bloch_host(x_g, max_iter=200, chunk=100, cp="ns")
     return cptp_project_bloch(x_g, 200)
 
 
