@@ -212,8 +212,16 @@ def depolarizing(p: float = 1.0, n_qubits: int = 1) -> Channel:
 
 
 def dephasing(p: float = 1.0, n_qubits: int = 1) -> Channel:
-    """rho -> (1-p) * rho + p * Z rho Z."""
-    return Channel(lambda rho: p * Z.transform(rho) + (1 - p) * rho, n_qubits)
+    """rho -> (1-p) * rho + p * Z^(x n) rho Z^(x n).
+
+    Documented divergence: the reference applies the SINGLE-qubit Z for any
+    n_qubits (quantpy/channel.py:239-244), which crashes on n_qubits > 1;
+    here the phase flip is the tensor power, matching the 1-qubit case
+    exactly."""
+    zn = Z
+    for _ in range(n_qubits - 1):
+        zn = zn.kron(Z)
+    return Channel(lambda rho: p * zn.transform(rho) + (1 - p) * rho, n_qubits)
 
 
 def amplitude_damping(gamma: float) -> Channel:

@@ -46,8 +46,9 @@ def normalized_update(x, delta, step):
 #: named symmetric proposal samplers: callable(key, shape, dtype) -> delta.
 #: The reference accepts any scipy frozen distribution (mhmc.py:30-48);
 #: here proposals must be jax-traceable, so custom distributions are passed
-#: as samplers with this signature (documented divergence). Only symmetric
-#: proposals are valid (no Hastings correction is applied).
+#: as samplers with this signature (documented divergence). An asymmetric
+#: sampler additionally needs `jump_logpdf` + symmetric=False on MHMC for
+#: the Hastings correction.
 _JUMP_DISTRS = {
     "normal": lambda key, shape, dtype: jax.random.normal(key, shape, dtype),
     "uniform": lambda key, shape, dtype: jax.random.uniform(
@@ -82,11 +83,24 @@ def resolve_jump_distr(jump_distr):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("logpdf", "update_rule", "jump_fn", "n_steps", "keep_every"),
+    static_argnames=(
+        "logpdf", "update_rule", "jump_fn", "n_steps", "keep_every",
+        "jump_logpdf",
+    ),
 )
-def _run_chain(key, x0, logpdf, update_rule, jump_fn, step, n_steps, keep_every):
+def _run_chain(
+    key, x0, logpdf, update_rule, jump_fn, step, n_steps, keep_every,
+    jump_logpdf=None,
+):
     """Scan a Metropolis chain for n_steps; return every keep_every-th
-    state (post-hoc thinning) and the acceptance count."""
+    state (post-hoc thinning) and the acceptance count.
+
+    `jump_logpdf` (optional, jax-traceable callable(delta) -> scalar log
+    density of the proposal displacement) enables the Hastings correction
+    for ASYMMETRIC proposals: the acceptance ratio is multiplied by
+    q(-delta)/q(delta), exactly the reference's
+    `jump_distr.pdf(-delta)/pdf(delta)` branch (quantpy/mhmc.py:99-103).
+    None (the default) means a symmetric proposal — no correction."""
 
     def mh_step(carry, key_t):
         x, logp_x = carry
@@ -94,9 +108,10 @@ def _run_chain(key, x0, logpdf, update_rule, jump_fn, step, n_steps, keep_every)
         delta = jump_fn(k1, x.shape, x.dtype)
         x_prime = update_rule(x, delta, step)
         logp_prime = logpdf(x_prime)
-        accept = jnp.log(jax.random.uniform(k2, dtype=x.dtype)) <= (
-            logp_prime - logp_x
-        )
+        log_ratio = logp_prime - logp_x
+        if jump_logpdf is not None:
+            log_ratio = log_ratio + jump_logpdf(-delta) - jump_logpdf(delta)
+        accept = jnp.log(jax.random.uniform(k2, dtype=x.dtype)) <= log_ratio
         x_new = jnp.where(accept, x_prime, x)
         logp_new = jnp.where(accept, logp_prime, logp_x)
         return (x_new, logp_new), (x_new, accept)
@@ -174,8 +189,16 @@ class MHMC:
     burn_steps : int
     dim : int — state dimension
     update_rule : callable or None (default: basic_update)
-    symmetric : bool — must be True (asymmetric jump corrections are not
-        supported; the reference only ever uses symmetric proposals)
+    symmetric : bool — True (default) skips the Hastings correction. For an
+        ASYMMETRIC proposal pass symmetric=False together with
+        `jump_logpdf`; the acceptance ratio is then multiplied by
+        q(-delta)/q(delta) like the reference's
+        `jump_distr.pdf(-delta)/pdf(delta)` branch (mhmc.py:99-103).
+    jump_logpdf : callable(delta) -> scalar or None — jax-traceable log
+        density of the proposal displacement, required when
+        symmetric=False (the reference reads .pdf off the scipy frozen
+        distribution; a device chain needs the traceable callable —
+        documented divergence).
     x_init : array or None — start point (default: uniform random)
     key : jax key or int seed
     """
@@ -191,10 +214,16 @@ class MHMC:
         symmetric: bool = True,
         x_init=None,
         key=None,
+        jump_logpdf=None,
     ):
         self.jump_fn = resolve_jump_distr(jump_distr)
-        if not symmetric:
-            raise NotImplementedError("Asymmetric proposals are not supported")
+        if not symmetric and jump_logpdf is None:
+            raise ValueError(
+                "symmetric=False needs `jump_logpdf`: a jax-traceable "
+                "callable(delta) -> log q(delta) for the Hastings "
+                "correction (reference quantpy/mhmc.py:99-103)"
+            )
+        self.jump_logpdf = None if symmetric else jump_logpdf
         self.target_logpdf = target_logpdf
         self.step = step
         self.burn_steps = burn_steps
@@ -233,6 +262,7 @@ class MHMC:
             xs, accepted = _run_chain(
                 self._next_key(), self.x_t, self.target_logpdf,
                 self.update_rule, self.jump_fn, self.step, segment, 1,
+                jump_logpdf=self.jump_logpdf,
             )
             self.x_t = xs[-1]
             rate = float(accepted) / segment
@@ -263,6 +293,7 @@ class MHMC:
                 self.step,
                 int(self.burn_steps),
                 max(int(self.burn_steps), 1),
+                jump_logpdf=self.jump_logpdf,
             )
             self.x_t = xs[-1]
             self.burned = True
@@ -276,6 +307,7 @@ class MHMC:
             self.step,
             total,
             int(thinning),
+            jump_logpdf=self.jump_logpdf,
         )
         self.x_t = xs[-1]
         return np.asarray(xs), float(accepted) / total
@@ -291,6 +323,7 @@ class MHMC:
             xs, acc = _run_chain(
                 key, self.x_t, self.target_logpdf, self.update_rule,
                 self.jump_fn, self.step, total, 1,
+                jump_logpdf=self.jump_logpdf,
             )
             kept = xs[int(self.burn_steps) :]
             return kept[int(thinning) - 1 :: int(thinning)], acc

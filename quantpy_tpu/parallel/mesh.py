@@ -167,6 +167,8 @@ def sharded_process_bootstrap_distances(
     n_points: int,
     cptp: bool = True,
     dst: str = "hs",
+    cp: str = "eigh",
+    cptp_iter: int = 2000,
 ):
     """Process bootstrap (simulate + factored lifp [+ CPTP projection] +
     Choi distance) data-parallel over the mesh.
@@ -175,8 +177,10 @@ def sharded_process_bootstrap_distances(
     embarrassingly parallel over resamples; here every device re-estimates
     its n_points/n_dev shard from its own key fold. All-real signature:
     choi_bloch (16^n,) reference point, out_blochs (S, 4^n) channel output
-    states, input_blochs_t (S, 4^n) transposed inputs.
-    """
+    states, input_blochs_t (S, 4^n) transposed inputs. `cp`/`cptp_iter`
+    select the Dykstra CP engine and iteration cap (cp='ns' with a few
+    hundred iterations is the 4+ qubit recipe, as in
+    BootstrapProcessInterval)."""
     import math
 
     from ..tomography import process_core
@@ -204,7 +208,8 @@ def sharded_process_bootstrap_distances(
             n_meas,
         )
         blochs = process_core.estimate_lifp_factored(
-            counts, inputs_t, povm, n_meas, cptp=cptp
+            counts, inputs_t, povm, n_meas, cptp=cptp, cptp_iter=cptp_iter,
+            cp=cp,
         )
         return bootstrap_core._distance_batch(dst, blochs, choi_ref, n2)
 
@@ -386,19 +391,28 @@ def sharded_mhmc_process_chains(
     thinning: int = 1,
     jump_distr=None,
     cptp_iter: int = 100,
+    cp: str | None = None,
 ):
     """Process-tomography twin of :func:`sharded_mhmc_state_chains`:
     CPTP-projected Metropolis chains over Choi bloch vectors. The target
     is the factored process NLL (the dense (S*K, 16^n) operator is never
     formed) and every proposal is Dykstra-projected into CPTP with the
     same tolerance as the single-device chain
-    (ProcessTomograph._cptp_update_rule -> _cptp_tol(1e-12)).
+    (ProcessTomograph._cptp_update_rule -> _cptp_tol(1e-12)). `cp` selects
+    the CP engine; default matches _cptp_update_rule ('ns' at 4+ qubits).
 
     Returns (samples (n_chains, n_samples, 16^n), acceptance_rate).
     """
+    import math
+
+    import numpy as np
+
     from ..tomography import process_core, state_core
 
     tol = process_core.default_cptp_tol(1e-12)
+    d2 = np.asarray(x_init).shape[-1]
+    if cp is None:
+        cp = "ns" if int(round(math.log(d2, 16))) >= 4 else "eigh"
 
     def make_fns(b, povm, n_meas, flat):
         w = state_core.weighted_povm_flat(povm, n_meas)
@@ -407,7 +421,7 @@ def sharded_mhmc_process_chains(
             return -process_core.process_nll_factored(x, b, w, flat)
 
         def update_rule(x, delta, s):
-            return process_core.cptp_project_bloch(x + s * delta, cptp_iter, tol)
+            return process_core.cptp_project_bloch(x + s * delta, cptp_iter, tol, cp)
 
         return logpdf, update_rule
 

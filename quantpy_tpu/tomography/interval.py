@@ -80,6 +80,20 @@ def _interp1d(x, y):
 from ..routines import _left_inv as _left_inv_np  # noqa: E402
 
 
+def _require_uniform_kron_shots(tmg, what: str):
+    """The kron-factored interval recipes fold a UNIFORM per-POVM shot
+    weight exactly (n_m / sum * m == 1); a user can inject non-uniform
+    counts into a kron-mode tomograph through the results setter
+    (n_measurements becomes row sums), which the factored paths would
+    silently mis-weight — reject instead (round-2 advisor finding)."""
+    n = np.asarray(tmg.n_measurements, dtype=np.float64)
+    if n.ndim and not np.allclose(n, n.flat[0]):
+        raise NotImplementedError(
+            f"{what} on the kron-factored path assumes uniform per-POVM "
+            "shot counts; non-uniform injected results need a dense design"
+        )
+
+
 class ConfidenceInterval(ABC):
     """Functor base (reference interval.py:19-56): detects STATE/CHANNEL
     mode from the tomograph and maps confidence levels to distances."""
@@ -114,6 +128,13 @@ class ConfidenceInterval(ABC):
 # --------------------------------------------------------------------------
 
 
+#: above this many (states x Mp-block) elements the channel moment path
+#: switches to the fully-factored exact-mean + Hutchinson-variance recipe
+#: (5 qubits = 2^30 stays exact; 6 qubits = 2^36 would need ~26 PFLOP and
+#: ~275 GB on the exact Gram)
+_CHANNEL_EXACT_GRAM_MAX = 1 << 32
+
+
 class MomentInterval(ConfidenceInterval):
     """CI from the exact multinomial moments of the weighted L2 error
     (reference interval.py:59-110)."""
@@ -134,6 +155,7 @@ class MomentInterval(ConfidenceInterval):
                     )
                 # kron-factored design: exact factored moments, no POVM /
                 # pseudo-inverse / weights-tensor materialization
+                _require_uniform_kron_shots(self.tmg, "MomentInterval")
                 from . import kron_analytic
 
                 mean, variance = kron_analytic.kron_l2_moments(
@@ -158,7 +180,8 @@ class MomentInterval(ConfidenceInterval):
                     inv, freq, n_measurements[0]
                 )
         else:
-            dim = 4**self.tmg.channel.n_qubits
+            n_ch = self.tmg.channel.n_qubits
+            dim = 4**n_ch
             t0 = self.tmg.tomographs[0]
             n_measurements = t0.n_measurements
             # the process design is kron(states_matrix, povm_flat); the
@@ -171,12 +194,30 @@ class MomentInterval(ConfidenceInterval):
             freq3 = np.stack(
                 [t.results / t.n_measurements[:, None] for t in self.tmg.tomographs]
             )
-            mean, variance = kron_analytic.channel_l2_moments(
-                self.tmg._input_blochs_t(),
-                t0.povm_matrix,
-                freq3,
-                n_measurements[0],
-            )
+            n_states = freq3.shape[0]
+            if n_states * dim * dim > _CHANNEL_EXACT_GRAM_MAX:
+                # 6+ qubits: even the per-state moment blocks are (4^n)^2;
+                # the fully-factored path needs the single-qubit design
+                # factors (exact mean + Hutchinson Frobenius term,
+                # channel_l2_moments_kron)
+                states1_t = getattr(self.tmg, "_states1_t", None)
+                povm1 = getattr(self.tmg, "_povm1", None)
+                if states1_t is None or povm1 is None:
+                    raise NotImplementedError(
+                        "channel moment intervals at this size need a "
+                        "tensor-power design (preset input states and a "
+                        "single-qubit POVM block)"
+                    )
+                mean, variance = kron_analytic.channel_l2_moments_kron(
+                    states1_t, povm1, n_ch, freq3, n_measurements[0]
+                )
+            else:
+                mean, variance = kron_analytic.channel_l2_moments(
+                    self.tmg._input_blochs_t(),
+                    t0.povm_matrix,
+                    freq3,
+                    n_measurements[0],
+                )
         if self.distr_type == "norm":
             distr = sts.norm(loc=mean, scale=np.sqrt(variance))
         elif self.distr_type == "gamma":
@@ -310,6 +351,7 @@ class SugiyamaInterval(ConfidenceInterval):
                 )
             # kron-factored design: exact c_alpha from the per-qubit
             # interval-arithmetic fold (uniform shots -> constant ratio m)
+            _require_uniform_kron_shots(self.tmg, "SugiyamaInterval")
             from . import kron_analytic
 
             m = self.tmg.n_measurements.shape[0]
@@ -425,6 +467,7 @@ class PolytopeStateInterval(_PolytopeBase):
             # applies it as the factored forward/adjoint chains. Weighted
             # row scaling reduces to the identity here (uniform shots:
             # n_m / sum * m == 1), matching the dense branch below.
+            _require_uniform_kron_shots(self.tmg, "PolytopeStateInterval")
             from . import kron_core
 
             row0 = kron_core.kron_row_component(
@@ -579,6 +622,7 @@ class BootstrapStateInterval(ConfidenceInterval):
                     "custom distance callables are not supported on the "
                     "kron-factored bootstrap path (hs/trace/if only)"
                 )
+            _require_uniform_kron_shots(self.tmg, "BootstrapStateInterval")
             from . import kron_core
 
             dist = np.asarray(
@@ -641,7 +685,18 @@ class BootstrapStateInterval(ConfidenceInterval):
 
 class BootstrapProcessInterval(ConfidenceInterval):
     """Process bootstrap: batched simulate + lifp(+CPTP) + Choi distance on
-    device (reference interval.py:615-685 loops in Python)."""
+    device (reference interval.py:615-685 loops in Python).
+
+    At 4+ qubit channels the lifp re-estimation projects ALL resamples at
+    once with the matmul-only Newton-Schulz Dykstra engine
+    (`cp_engine='ns'`, host-chunked iterations): batched eigh serializes on
+    TPU while batched matmuls ride the MXU, which is what moves the 4-qubit
+    process bootstrap from ~0.8 rec/s (round 2, eigh per 8-resample chunk)
+    into the tens of rec/s. `cp_engine` forces the engine ('eigh'/'ns');
+    `cptp_iter` caps the Dykstra iterations of the bootstrap projection
+    (default 400 on the NS path — the resample distance scale is ~0.1-1, so
+    the projection only needs feasibility far below that, verified
+    statistically against the full-tolerance eigh path at 2 qubits)."""
 
     def __init__(
         self,
@@ -655,11 +710,14 @@ class BootstrapProcessInterval(ConfidenceInterval):
         states_physical: bool = True,
         states_init: str = "lin",
         key=None,
+        cp_engine: str | None = None,
+        cptp_iter: int | None = None,
     ):
         super().__init__(
             tmg, n_points=n_points, method=method, cptp=cptp, tol=tol,
             channel=channel, states_est_method=states_est_method,
             states_physical=states_physical, states_init=states_init, key=key,
+            cp_engine=cp_engine, cptp_iter=cptp_iter,
         )
 
     def setup(self):
@@ -707,10 +765,33 @@ class BootstrapProcessInterval(ConfidenceInterval):
         n_meas = jnp.asarray(t0.n_measurements, dtype=rdtype())
         n_ch = self.tmg.channel.n_qubits
 
+        cp = self.cp_engine or ("ns" if n_ch >= 4 else "eigh")
+
         def estimate_chunk(c):
             if self.method == "lifp":
+                if cp == "ns":
+                    # whole-batch path: raw factored inversion, then ONE
+                    # host-chunked Newton-Schulz Dykstra over every resample
+                    # at once (matmuls batch on the MXU; eigh would
+                    # serialize) — the iteration cap is ample feasibility at
+                    # the bootstrap's statistical distance scale
+                    raw = process_core.estimate_lifp_factored(
+                        c, input_blochs_t, povm, n_meas, cptp=False
+                    )
+                    if not self.cptp:
+                        return raw
+                    # iteration chunk scaled so one device call stays well
+                    # under the ~60 s execution cap at any resample count
+                    it_chunk = int(np.clip(12800 // max(n_points, 1), 10, 100))
+                    return process_core.cptp_project_bloch_host(
+                        raw,
+                        max_iter=self.cptp_iter or 400,
+                        chunk=it_chunk,
+                        cp="ns",
+                    )
                 return process_core.estimate_lifp_factored(
-                    c, input_blochs_t, povm, n_meas, cptp=self.cptp
+                    c, input_blochs_t, povm, n_meas, cptp=self.cptp,
+                    cptp_iter=self.cptp_iter or 2000,
                 )
             if self.method == "pgdb":
                 pgdb = (
@@ -745,8 +826,11 @@ class BootstrapProcessInterval(ConfidenceInterval):
 
         # 4+ qubit channels: chunk the resample batch so the Dykstra-heavy
         # re-estimation stays under the axon runtime's ~60 s
-        # single-execution cap (docs/tpu_constraints.md)
-        chunk = n_points if n_ch < 4 else 8
+        # single-execution cap (docs/tpu_constraints.md). The lifp+NS path
+        # needs no resample chunking — its projection host-chunks the
+        # Dykstra ITERATIONS over the whole batch instead.
+        whole_batch = n_ch < 4 or (self.method == "lifp" and cp == "ns")
+        chunk = n_points if whole_batch else 8
         if chunk >= n_points:
             choi_blochs = estimate_chunk(counts)
         else:
@@ -803,6 +887,7 @@ class MHMCStateInterval(ConfidenceInterval):
         n_chains: int = 1,
         jump_distr=None,
         mesh=None,
+        jump_logpdf=None,
     ):
         """`temper=True` (default) samples exp(-NLL/N) like the reference
         (its _nll is frequency-normalized, state.py:217-229) — a posterior
@@ -813,16 +898,20 @@ class MHMCStateInterval(ConfidenceInterval):
         `n_chains > 1` runs that many independent chains vmapped in
         parallel (each with its own burn-in) and reports the split-R-hat
         and effective-sample-size diagnostics (`r_hat`, `ess` attributes)
-        of the distance series. `jump_distr` selects the symmetric proposal
-        (see MHMC). `mesh` (a jax.sharding.Mesh) shards the chains of an
-        `n_chains > 1` run over the mesh devices (dense designs only);
-        `adapt_step` still tunes the proposal locally before dispatch."""
+        of the distance series. `jump_distr` selects the proposal (see
+        MHMC); an ASYMMETRIC proposal additionally needs `jump_logpdf`
+        (callable(delta) -> log q(delta)) for the Hastings correction
+        (reference mhmc.py:99-103). `mesh` (a jax.sharding.Mesh) shards
+        the chains of an `n_chains > 1` run over the mesh devices (dense
+        designs, symmetric proposals only); `adapt_step` still tunes the
+        proposal locally before dispatch."""
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
             thinning=thinning, warm_start=warm_start,
             use_new_estimate=use_new_estimate, state=state, verbose=verbose,
             key=key, temper=temper, adapt_step=adapt_step,
             n_chains=n_chains, jump_distr=jump_distr, mesh=mesh,
+            jump_logpdf=jump_logpdf,
         )
 
     def setup(self):
@@ -850,7 +939,8 @@ class MHMCStateInterval(ConfidenceInterval):
                 burn_steps=self.burn_steps,
                 dim=dim,
                 update_rule=normalized_update,
-                symmetric=True,
+                symmetric=self.jump_logpdf is None,
+                jump_logpdf=self.jump_logpdf,
                 x_init=x_init,
                 key=self.key,
             )
@@ -860,6 +950,10 @@ class MHMCStateInterval(ConfidenceInterval):
             if self.tmg.povm_matrix is None:
                 raise NotImplementedError(
                     "mesh-sharded MHMC chains need a dense design"
+                )
+            if self.jump_logpdf is not None:
+                raise NotImplementedError(
+                    "mesh-sharded chains support symmetric proposals only"
                 )
             from ..parallel import sharded_mhmc_state_chains
             from .state_core import weighted_povm_flat
@@ -951,6 +1045,7 @@ class MHMCProcessInterval(ConfidenceInterval):
         n_chains: int = 1,
         jump_distr=None,
         mesh=None,
+        jump_logpdf=None,
     ):
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
@@ -960,7 +1055,7 @@ class MHMCProcessInterval(ConfidenceInterval):
             use_new_estimate=use_new_estimate, channel=channel,
             verbose=verbose, return_samples=return_samples, key=key,
             adapt_step=adapt_step, n_chains=n_chains, jump_distr=jump_distr,
-            mesh=mesh,
+            mesh=mesh, jump_logpdf=jump_logpdf,
         )
 
     def setup(self):
@@ -989,13 +1084,18 @@ class MHMCProcessInterval(ConfidenceInterval):
                 burn_steps=self.burn_steps,
                 dim=dim,
                 update_rule=self.tmg._cptp_update_rule,
-                symmetric=True,
+                symmetric=self.jump_logpdf is None,
+                jump_logpdf=self.jump_logpdf,
                 x_init=x_init,
                 key=self.key,
             )
             if self.adapt_step:
                 self.chain.adapt_step(segment=100, max_rounds=8)
         if self.n_chains > 1 and self.mesh is not None:
+            if self.jump_logpdf is not None:
+                raise NotImplementedError(
+                    "mesh-sharded chains support symmetric proposals only"
+                )
             from ..parallel import sharded_mhmc_process_chains
 
             t0 = self.tmg.tomographs[0]

@@ -38,7 +38,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["kron_l2_moments", "kron_sugiyama_c_alpha", "channel_l2_moments"]
+__all__ = [
+    "kron_l2_moments",
+    "kron_sugiyama_c_alpha",
+    "channel_l2_moments",
+    "channel_l2_moments_kron",
+]
 
 
 def _v1(povm1: np.ndarray) -> np.ndarray:
@@ -285,3 +290,211 @@ def kron_sugiyama_c_alpha(povm1, n_qubits: int) -> np.ndarray:
     hi = hi.transpose(perm).reshape(4**n, -1)
     spread = (hi - lo) * s
     return np.sum(spread**2, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# 6+ qubit channel moments: exact mean + Hutchinson Frobenius term
+# --------------------------------------------------------------------------
+
+
+def _channel_kron_factors(states1_t, povm1):
+    """Per-qubit factors of the fully kron-factored process design:
+    V1 = pinv of the flattened single-qubit POVM block, its Gram G1, and
+    the input-state Gram Cs1 = Vs1^T Vs1."""
+    states1_t = np.asarray(states1_t, dtype=np.float64)  # (S1, 4)
+    povm1 = np.asarray(povm1, dtype=np.float64)  # (m1, p1, 4)
+    m1, p1, _ = povm1.shape
+    f1 = povm1.reshape(m1 * p1, 4)
+    v1 = np.linalg.solve(f1.T @ f1, f1.T)  # (4, m1 p1)
+    g1 = v1.T @ v1  # (m1 p1, m1 p1)
+    vs1 = np.linalg.pinv(states1_t)  # (4, S1)
+    cs1 = vs1.T @ vs1  # (S1, S1)
+    return v1, g1, cs1, m1, p1
+
+
+def _fold_axis(u, k, op):
+    """Contract fused per-qubit axis 1+k of u (s leading) with op (c, out):
+    u[..., c_k, ...] -> u[..., out_k, ...] keeping axis order."""
+    import jax.numpy as jnp
+
+    u = jnp.moveaxis(u, 1 + k, -1)
+    u = jnp.matmul(u, op)
+    return jnp.moveaxis(u, -1, 1 + k)
+
+
+def _fold_block_axis(u, k, b1, m1, p1):
+    """Per-POVM quadratic-kernel fold on fused axis 1+k: with the axis
+    viewed as (a, i), map to (a, j) via b1[a, i, j] (the G1 diagonal
+    blocks)."""
+    import jax.numpy as jnp
+
+    u = jnp.moveaxis(u, 1 + k, -1)
+    u = u.reshape(u.shape[:-1] + (m1, p1))
+    u = jnp.einsum("...ai,aij->...aj", u, b1)
+    u = u.reshape(u.shape[:-2] + (m1 * p1,))
+    return jnp.moveaxis(u, -1, 1 + k)
+
+
+def channel_l2_moments_kron(
+    states1_t,
+    povm1,
+    n_qubits: int,
+    freq,
+    n_trials,
+    n_probes: int = 128,
+    key=None,
+    state_chunk: int = 256,
+    probe_chunk: int = 16,
+):
+    """(mean, variance) of the channel-mode MomentInterval L2 statistic for
+    a FULLY kron-factored process design (input states AND POVM are tensor
+    powers of single-qubit blocks) — the 6-qubit regime, where even the
+    per-state factored path of :func:`channel_l2_moments` is infeasible
+    (its (4^n)^2 moment blocks Mp[s] and their pairwise Gram would cost
+    ~26 PFLOP and ~275 GB at 6 qubits).
+
+    The MEAN is EXACT: tr Mp[s] = sum_j ||vp_j||^2 f_sj - ||tp_s||_F^2,
+    where vp = kron(V1)/4^n has Kronecker column norms and the second term
+    is a per-POVM quadratic form in the G1 = V1^T V1 diagonal blocks —
+    both per-qubit folds of the frequency tensor.
+
+    The Frobenius term of the VARIANCE is an unbiased Rademacher
+    Hutchinson estimate: with the state-Gram Hadamard square
+    W = (Vs^T Vs)^{o 2} (a Kronecker power),
+
+        fro2 = sum_{s,s'} W[s,s'] tr(Mp[s] Mp[s']) = E_z[u_z],
+        u_z  = sum_{s,s'} W[s,s'] (Mp[s] z).(Mp[s'] z),
+
+    and Mp[s] z factorizes through ONE kron-structured pseudo-inverse
+    apply: Mp[s] z = vp-apply(C_s), C_s[(a,i)] = f_s[(a,i)] (y[(a,i)] -
+    t_s[a]), y = vp^T z, t_s[a] = sum_i f_s[(a,i)] y[(a,i)] — no tp or Mp
+    is ever materialized (exactness of this identity is tested against the
+    dense Mp at 2 qubits). n_probes=128 reproduces the exact variance to
+    ~2 percent at 2-3 qubits (tested); the estimator error enters only the
+    interval radius through a square root (~1 percent).
+
+    Parameters
+    ----------
+    states1_t : (S1, 4) TRANSPOSED single-qubit input-state bloch rows
+        (per-qubit factor of tmg._input_blochs_t())
+    povm1 : (m1, p1, 4) single-qubit POVM block
+    freq : (S, m1^n, p1^n) observed frequencies, S = S1^n
+    n_trials : uniform shots per (state, POVM)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import rdtype
+
+    n = n_qubits
+    v1, g1, cs1, m1, p1 = _channel_kron_factors(states1_t, povm1)
+    f = np.asarray(freq, dtype=np.float64)
+    s_count = f.shape[0]
+    dim = float(4**n)
+    # (S, m, p) -> (S, c1, ..., cn) with fused c_k = (a_k, i_k)
+    x = f.reshape((s_count,) + (m1,) * n + (p1,) * n)
+    perm = [0] + [1 + j for k in range(n) for j in (k, n + k)]
+    x = np.ascontiguousarray(x.transpose(perm)).reshape(
+        (s_count,) + (m1 * p1,) * n
+    )
+
+    rd = rdtype()
+    v1t_d = jnp.asarray(v1.T, rd)  # (c, 4): vp-apply op per qubit
+    v1_d = jnp.asarray(v1, rd)  # (4, c): vp^T-apply op per qubit
+    g1_diag = jnp.asarray(np.diag(g1), rd)  # (c,)
+    b1_d = jnp.asarray(
+        np.einsum("aiaj->aij", g1.reshape(m1, p1, m1, p1)), rd
+    )  # (m1, p1, p1)
+    w1_d = jnp.asarray(cs1 * cs1, rd)  # (S1, S1)
+    s1 = cs1.shape[0]
+    cs_diag = _kron_power_vec(np.diag(cs1), n)  # (S,)
+
+    @jax.jit
+    def tr_mp_chunk(xc):
+        """Exact (chunk,) tr Mp[s]: diagonal fold minus block quadratic."""
+        t1 = xc
+        for _ in range(n):
+            # consuming axis 1 repeatedly walks through every qubit
+            t1 = jnp.tensordot(t1, g1_diag, axes=([1], [0]))
+        u = xc
+        for k in range(n):
+            u = _fold_block_axis(u, k, b1_d, m1, p1)
+        t2 = jnp.sum(u * xc, axis=tuple(range(1, n + 1)))
+        return (t1 - t2) / (dim * dim)
+
+    @jax.jit
+    def u_probe_chunk(xc, z_batch):
+        """(chunk, nz, 4^n) factored Mp[s] z for a probe batch.
+
+        z_batch: (nz,) + (4,)*n tensors. Returns U with the 1/dim^2 of
+        Mp's two vp factors applied."""
+        nz = z_batch.shape[0]
+        y = z_batch
+        for k in range(n):
+            y = _fold_axis(y, k, v1_d)  # (nz, c1..cn), vp^T z * dim
+        w = xc[:, None] * y[None]  # (chunk, nz, c1..cn)
+        t = jnp.sum(
+            w.reshape(w.shape[:2] + (m1, p1) * n),
+            axis=tuple(3 + 2 * k for k in range(n)),
+        )  # (chunk, nz, a1..an)
+        # broadcast t back over the outcome axes, refused to (c,) per qubit
+        t_b = t.reshape(t.shape[:2] + (m1, 1) * n)
+        t_b = jnp.broadcast_to(
+            t_b, t.shape[:2] + (m1, p1) * n
+        ).reshape(w.shape)
+        c = xc[:, None] * (y[None] - t_b)  # (chunk, nz, c1..cn)
+        u = c.reshape((c.shape[0] * nz,) + c.shape[2:])
+        for k in range(n):
+            u = _fold_axis(u, k, v1t_d)  # c_k -> d_k (vp-apply * dim)
+        u = u.reshape(c.shape[0], nz, -1)
+        return u / (dim * dim)
+
+    @jax.jit
+    def w_quadratic(u_all):
+        """(nz,) u_z = sum_{s,s'} W[s,s'] U[s].U[s'] via per-qubit w1
+        folds over the state axis."""
+        nz, dp = u_all.shape[1], u_all.shape[2]
+        v = u_all.reshape((s1,) * n + (nz * dp,))
+        for k in range(n):
+            v = jnp.moveaxis(jnp.matmul(
+                jnp.moveaxis(v, k, -1), w1_d
+            ), -1, k)
+        v = v.reshape(s_count, nz, dp)
+        return jnp.sum(u_all * v, axis=(0, 2))
+
+    # ---- exact mean ----
+    tr_mp = np.concatenate([
+        np.asarray(tr_mp_chunk(jnp.asarray(x[lo : lo + state_chunk], rd)))
+        for lo in range(0, s_count, state_chunk)
+    ])
+    mean = float(cs_diag @ tr_mp) / n_trials
+
+    # ---- Hutchinson Frobenius term ----
+    if key is None:
+        key = jax.random.key(1234)
+    u_sum = 0.0
+    done = 0
+    while done < n_probes:
+        nz = min(probe_chunk, n_probes - done)
+        key, sub = jax.random.split(key)
+        z = jax.random.rademacher(
+            sub, (nz,) + (4,) * n, dtype=rd
+        )
+        u_parts = [
+            u_probe_chunk(jnp.asarray(x[lo : lo + state_chunk], rd), z)
+            for lo in range(0, s_count, state_chunk)
+        ]
+        u_all = jnp.concatenate(u_parts, axis=0)  # (S, nz, 4^n)
+        u_sum += float(jnp.sum(w_quadratic(u_all)))
+        done += nz
+    fro2 = u_sum / n_probes
+    variance = 2.0 * fro2 / n_trials**2
+    return mean, variance
+
+
+def _kron_power_vec(vec1, n: int) -> np.ndarray:
+    """n-fold Kronecker power of a vector (host, float64)."""
+    out = np.asarray(vec1, dtype=np.float64)
+    for _ in range(n - 1):
+        out = np.kron(out, vec1)
+    return out

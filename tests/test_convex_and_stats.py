@@ -199,3 +199,39 @@ def test_mhmc_diagnostics():
     # badly separated chains
     bad = mixed + np.arange(4)[:, None] * 5.0
     assert split_rhat(bad) > 1.5
+
+
+def test_mhmc_hastings_asymmetric_proposal():
+    """Asymmetric proposal + Hastings correction recovers the target that
+    the uncorrected chain skews (reference quantpy/mhmc.py:99-103)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quantpy_tpu.mhmc import MHMC
+
+    logpdf = lambda x: -0.5 * jnp.sum(x**2)  # N(0, 1)
+    shift = 0.8
+    sampler = lambda key, shape, dtype: (
+        jax.random.normal(key, shape, dtype) + shift
+    )
+    jump_logpdf = lambda d: -0.5 * jnp.sum((d - shift) ** 2)
+
+    corrected = MHMC(
+        logpdf, jump_distr=sampler, jump_logpdf=jump_logpdf,
+        symmetric=False, step=1.0, burn_steps=500, dim=1, key=12,
+    )
+    s1, rate = corrected.sample(6000)
+    assert 0.05 < rate < 0.95
+    assert abs(float(s1.mean())) < 0.15
+    np.testing.assert_allclose(float(s1.std()), 1.0, rtol=0.2)
+
+    # the same proposal WITHOUT the correction drifts the chain upward —
+    # this is the bias the reference's pdf-ratio branch removes
+    skewed = MHMC(
+        logpdf, jump_distr=sampler, step=1.0, burn_steps=500, dim=1, key=13
+    )
+    s2, _ = skewed.sample(6000)
+    assert float(s2.mean()) > 0.2
+
+    with pytest.raises(ValueError):
+        MHMC(logpdf, jump_distr=sampler, symmetric=False)

@@ -707,3 +707,76 @@ def test_polytope_interval_f32_vs_x64(state_tmg):
         enable_x64(True)
     np.testing.assert_allclose(np.asarray(fmin32), np.asarray(fmin64), atol=5e-3)
     np.testing.assert_allclose(np.asarray(fmax32), np.asarray(fmax64), atol=5e-3)
+
+
+def test_kron_intervals_reject_nonuniform_counts(monkeypatch):
+    """Non-uniform counts injected into a kron-mode tomograph must be
+    rejected by the factored interval paths, which fold a uniform row
+    weight exactly (round-2 advisor finding)."""
+    monkeypatch.setattr(qt.StateTomograph, "DENSE_POVM_MAX_ELEMENTS", 1)
+    tmg = qt.StateTomograph(qt.GHZ(2), key=71)
+    tmg.experiment(1000, "proj-set")
+    assert tmg.povm_matrix is None
+    results = np.asarray(tmg.results).copy()
+    results[0] *= 3  # row sums now non-uniform
+    tmg.results = results
+    tmg.point_estimate("lin")
+    for iv in (
+        qt.MomentInterval(tmg),
+        qt.SugiyamaInterval(tmg),
+        qt.PolytopeStateInterval(tmg, n_points=5),
+        qt.BootstrapStateInterval(tmg, n_points=4),
+    ):
+        with pytest.raises(NotImplementedError):
+            iv(np.array([0.5, 0.9]))
+
+
+def test_channel_moments_kron_matches_dense():
+    """Fully-factored channel moments (the 6+ qubit path): exact mean,
+    Hutchinson variance within MC tolerance of the dense recipe at 2q."""
+    import jax
+
+    from quantpy_tpu.measurements import _single_qubit_preset
+    from quantpy_tpu.tomography import kron_analytic as ka
+    from quantpy_tpu.tomography.process import (
+        ProcessTomograph,
+        _generate_input_states,
+    )
+
+    tmg = ProcessTomograph(depolarizing(0.3, 2), key=22)
+    tmg.experiment(3000, "proj-set")
+    t0 = tmg.tomographs[0]
+    freq = np.stack(
+        [t.results / t.n_measurements[:, None] for t in tmg.tomographs]
+    )
+    mean_d, var_d = ka.channel_l2_moments(
+        tmg._input_blochs_t(), t0.povm_matrix, freq, t0.n_measurements[0]
+    )
+    states1_t = np.stack(
+        [s.T.bloch for s in _generate_input_states("proj4", 1)]
+    )
+    mean_k, var_k = ka.channel_l2_moments_kron(
+        states1_t, _single_qubit_preset("proj-set"), 2, freq,
+        t0.n_measurements[0], n_probes=256, key=jax.random.key(5),
+    )
+    np.testing.assert_allclose(mean_k, mean_d, rtol=1e-10)
+    np.testing.assert_allclose(var_k, var_d, rtol=0.05)
+
+
+def test_moment_interval_dispatches_stochastic_path(monkeypatch):
+    """Above the exact-Gram budget MomentInterval uses the fully-factored
+    path and reproduces the dense interval; without tensor-power design
+    factors it raises."""
+    from quantpy_tpu.tomography import interval as interval_mod
+    from quantpy_tpu.tomography.process import ProcessTomograph
+
+    tmg = ProcessTomograph(depolarizing(0.3, 2), key=22)
+    tmg.experiment(3000, "proj-set")
+    tmg.point_estimate("lifp")
+    dist_exact, _ = qt.MomentInterval(tmg)(np.array([0.5, 0.9]))
+    monkeypatch.setattr(interval_mod, "_CHANNEL_EXACT_GRAM_MAX", 1)
+    dist_stoch, _ = qt.MomentInterval(tmg)(np.array([0.5, 0.9]))
+    np.testing.assert_allclose(dist_stoch, dist_exact, rtol=0.05)
+    tmg._povm1 = None
+    with pytest.raises(NotImplementedError):
+        qt.MomentInterval(tmg)(np.array([0.5, 0.9]))

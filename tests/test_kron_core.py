@@ -97,8 +97,10 @@ def test_state_tomograph_kron_mode():
     assert float(qt.hs_dst(est, tmg.state)) < 0.3
     est2 = tmg.point_estimate("mle-rhor", max_iter=30)
     assert float(qt.hs_dst(est2, tmg.state)) < 0.3
+    # 'mle-constr' aliases to the trace-normalized MLE (round-3); methods
+    # with no kron-path equivalent still raise
     with pytest.raises(NotImplementedError):
-        tmg.point_estimate("mle-constr")
+        tmg.point_estimate("bogus-method")
     # same-design kron warm_start merges counts (round-2 extension);
     # a different design still raises
     before = float(np.sum(tmg.results))  # 729 POVMs x 4000 shots

