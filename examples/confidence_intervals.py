@@ -39,9 +39,12 @@ def main() -> None:
         ),
     }
     print(f"{'interval':>14} | " + " | ".join(f"d@{c}" for c in conf_levels))
+    grid = np.linspace(0.02, 0.98, 49)
+    radius_curves = []
     for name, iv in intervals.items():
         d, _ = iv(conf_levels)
         print(f"{name:>14} | " + " | ".join(f"{x:.4f}" for x in np.asarray(d)))
+        radius_curves.append((name, np.asarray(iv(grid)[0])))
 
     # fidelity band w.r.t. the true state
     fiv = qt.MomentFidelityStateInterval(tmg, target_state=tmg.state)
@@ -57,6 +60,34 @@ def main() -> None:
     quantiles = np.linspace(0, 1, len(levels))
     err = float(np.max(np.abs(levels - quantiles)))
     print(f"\nmoment-interval calibration: max |achieved - uniform| = {err:.3f}")
+
+    import _viz
+
+    if _viz.figures_enabled():
+        fig, ax = _viz.new_axes(
+            "Interval families on one 2-qubit GHZ experiment (3000 shots)",
+            "confidence level",
+            "HS-distance radius",
+        )
+        for (name, d), color in zip(radius_curves, _viz.PALETTE):
+            ax.plot(grid, d, color=color, linewidth=2, label=name, zorder=3)
+        ax.set_xlim(0, 1)
+        _viz.legend(ax)
+        _viz.save(fig, "interval_families")
+
+        fig, ax = _viz.new_axes(
+            "Moment-interval calibration (1-qubit GHZ, 1000 shots)",
+            "uniform quantile",
+            "achieved confidence level",
+        )
+        ax.plot([0, 1], [0, 1], color=_viz.GRID, linewidth=1.2, zorder=1)
+        ax.plot(
+            quantiles, levels, color=_viz.PALETTE[0], linewidth=2,
+            marker="o", markersize=3, zorder=3,
+        )
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, 1.02)
+        _viz.save(fig, "calibration")
 
 
 if __name__ == "__main__":

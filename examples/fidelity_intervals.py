@@ -86,12 +86,47 @@ def main() -> None:
 
     epsilons = np.logspace(-5, -0.01, 50)
     print("fidelity bands (MomentFidelity intervals, closed-form ball solver)")
+    qst_sweeps = []
     for n_shots in (1_000, 10_000, 100_000):
         true_fid, bands = state_fidelity_sweep(epsilons, n_shots, args.repeats, 100)
         report("QST", true_fid, bands, epsilons, n_shots)
+        qst_sweeps.append((n_shots, true_fid, bands))
     for n_shots in (1_000, 10_000, 100_000):
         true_fid, bands = process_fidelity_sweep(epsilons, n_shots, args.repeats, 500)
         report("QPT", true_fid, bands, epsilons, n_shots)
+
+    import _viz
+
+    if _viz.figures_enabled() and qst_sweeps:
+        fig, ax = _viz.new_axes(
+            "QST fidelity bands vs error budget "
+            "(depolarized 2-qubit GHZ, mean over repeats)",
+            "epsilon = 1 - confidence",
+            "fidelity bound",
+        )
+        true_fid = qst_sweeps[0][1]
+        for (n_shots, _, bands), color in zip(qst_sweeps, _viz.PALETTE):
+            fmin = np.stack([b[0] for b in bands]).mean(0)
+            fmax = np.stack([b[1] for b in bands]).mean(0)
+            ax.semilogx(
+                epsilons, fmin, color=color, linewidth=2,
+                label=f"{n_shots:,} shots", zorder=3,
+            )
+            ax.semilogx(epsilons, fmax, color=color, linewidth=2, zorder=3)
+            ax.fill_between(
+                epsilons, fmin, fmax, color=color, alpha=0.12, linewidth=0,
+            )
+        ax.axhline(
+            true_fid, color=_viz.TEXT2, linewidth=1.2, linestyle="--",
+            zorder=2,
+        )
+        ax.annotate(
+            "true fidelity", (epsilons[1], true_fid),
+            textcoords="offset points", xytext=(0, 5),
+            color=_viz.TEXT2, fontsize=8,
+        )
+        _viz.legend(ax)
+        _viz.save(fig, "fidelity_bands")
 
 
 if __name__ == "__main__":

@@ -29,6 +29,7 @@ from quantpy_tpu.tomography import kron_core
 
 def main(max_qubits: int) -> None:
     povm1 = jnp.asarray(_single_qubit_preset("proj-set"))
+    rows = []
     print(f"{'n':>2} | {'counts shape':>14} | {'simulate':>9} | {'lin':>9} | "
           f"{'mle-60':>9} | {'mle hs-to-truth':>15}")
     for n in range(2, max_qubits + 1):
@@ -65,6 +66,33 @@ def main(max_qubits: int) -> None:
         d = float(qt.hs_dst(qt.Qobj(np.asarray(est, np.float64)), state))
         print(f"{n:>2} | {str(tuple(counts.shape)):>14} | {t_sim*1e3:>7.1f}ms | "
               f"{t_lin*1e3:>7.1f}ms | {t_mle*1e3:>7.1f}ms | {d:>15.4f}")
+        rows.append((n, t_sim, t_lin, t_mle))
+
+    import _viz
+
+    if _viz.figures_enabled() and rows:
+        fig, ax = _viz.new_axes(
+            "Kron-factored tomography scaling (10k shots, proj-set)",
+            "qubits",
+            "wall time per call (s)",
+        )
+        ns = [r[0] for r in rows]
+        for idx, (label, col) in enumerate(
+            [("simulate", 1), ("linear inversion", 2), ("MLE (60 iters)", 3)]
+        ):
+            ax.semilogy(
+                ns, [r[col] for r in rows], color=_viz.PALETTE[idx],
+                linewidth=2, marker="o", markersize=4, label=label, zorder=3,
+            )
+        # reference comparison points (BASELINE.md, dense single-core CPU)
+        ax.semilogy(
+            [5, 6], [0.65, 45.0], color=_viz.TEXT2, linewidth=0,
+            marker="x", markersize=7, label="reference lin (BASELINE.md)",
+            zorder=3,
+        )
+        ax.set_xticks(ns)
+        _viz.legend(ax)
+        _viz.save(fig, "scaling_study")
 
 
 if __name__ == "__main__":

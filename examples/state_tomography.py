@@ -32,7 +32,9 @@ def quality_study(n_qubits: int, repeats: int) -> None:
     tmg = qt.StateTomograph(state, key=1)
     print(f"\n=== estimator quality: {n_qubits}-qubit GHZ, {repeats} repeats ===")
     print(f"{'shots':>9} | {'lin median hs':>14} | {'mle-rhor median hs':>18}")
-    for shots in [100, 1_000, 10_000, 100_000]:
+    shot_list = [100, 1_000, 10_000, 100_000]
+    medians = {"lin": [], "mle-rhor": []}
+    for shots in shot_list:
         tmg.experiment(shots, "proj-set")
         counts = tmg.simulate_batch(repeats)
         row = []
@@ -49,7 +51,27 @@ def quality_study(n_qubits: int, repeats: int) -> None:
                 )
             )
             row.append(float(np.median(d)))
+            medians[method].append(row[-1])
         print(f"{shots:>9} | {row[0]:>14.5f} | {row[1]:>18.5f}")
+
+    import _viz
+
+    if _viz.figures_enabled():
+        fig, ax = _viz.new_axes(
+            f"Estimator convergence: {n_qubits}-qubit GHZ, "
+            f"median over {repeats} experiments",
+            "shots per POVM",
+            "median HS distance to truth",
+        )
+        for idx, (method, label) in enumerate(
+            [("lin", "linear inversion"), ("mle-rhor", "MLE (RrhoR)")]
+        ):
+            ax.loglog(
+                shot_list, medians[method], color=_viz.PALETTE[idx],
+                linewidth=2, marker="o", markersize=4, label=label, zorder=3,
+            )
+        _viz.legend(ax)
+        _viz.save(fig, "estimator_quality")
 
 
 def time_study(max_qubits: int) -> None:

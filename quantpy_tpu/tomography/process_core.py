@@ -286,17 +286,88 @@ def _dykstra_step(x, p, q, cp_fn=None):
     return x_new, p_new, q_new, jnp.max(crit)
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "cp"))
-def _dykstra_chunk(x, p, q, n_steps: int, cp: str = "eigh"):
+def _tp_project_mat(c):
+    """Matrix-space twin of tp_project_bloch: the orthogonal projection
+    onto Tr_out(C) = I is C + ((I - Tr_out C)/d_out) (x) I_out (input
+    factor first, matching the bloch layout). Equality with the bloch-space
+    projection is tested."""
+    d = c.shape[-1]
+    d_in = int(round(math.sqrt(d)))
+    c4 = c.reshape(c.shape[:-2] + (d_in, d_in, d_in, d_in))
+    tr_out = jnp.einsum("...ibjb->...ij", c4)
+    eye = jnp.eye(d_in, dtype=c.dtype)
+    corr = (eye - tr_out) / d_in
+    c4 = c4 + corr[..., :, None, :, None] * eye[None, :, None, :]
+    return c4.reshape(c.shape)
+
+
+def _ns_psd_mat(a, ns_iter: int):
+    """Matrix-space Newton-Schulz PSD clip (the body of
+    cp_project_bloch_ns without the bloch transforms)."""
+    fro = jnp.sqrt(
+        jnp.sum(jnp.abs(a) ** 2, axis=(-2, -1), keepdims=True).real
+    )
+    s = a / jnp.maximum(fro, 1e-30).astype(a.dtype)
+    eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+
+    def body(s, _):
+        return 0.5 * s @ (3.0 * eye - s @ s), None
+
+    s, _ = jax.lax.scan(body, s, None, length=ns_iter)
+    psd = 0.5 * (a + a @ s)
+    return 0.5 * (psd + jnp.swapaxes(psd.conj(), -1, -2))
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "cp", "ns_iter"))
+def _dykstra_chunk(x, p, q, n_steps: int, cp: str = "eigh", ns_iter: int = 34):
     """`n_steps` Dykstra iterations as one device program (for the
     host-chunked projection at 5+ qubits). `cp` selects the CP-projection
     engine: exact 'eigh' or matmul-only 'ns' (Newton-Schulz sign
-    iteration; the MXU route for 4096-dim Choi matrices)."""
-    cp_fn = cp_project_bloch_ns if cp == "ns" else cp_project_bloch
+    iteration; the MXU route for 4096-dim Choi matrices).
+
+    The 'ns' engine runs the whole chunk in MATRIX space: the Pauli
+    bloch<->matrix transforms move to the chunk boundary (6 per chunk
+    instead of 2 per iteration — they were a dominant cost of the batched
+    4-qubit bootstrap projection), and the boundary carries stay real
+    bloch vectors (axon contract: no complex host<->device I/O). The
+    stop criterion is rescaled by 2^(2n) so the tolerance keeps the
+    bloch-space semantics."""
+    if cp == "ns":
+        n2 = 2 * _n_from_d2(x.shape[-1])
+        xm = bloch_to_matrix(x, n2)
+        pm = bloch_to_matrix(p, n2)
+        qm = bloch_to_matrix(q, n2)
+
+        def body(carry, _):
+            xm, pm, qm, _ = carry
+            s = xm + pm
+            y = _tp_project_mat(s)
+            pm_new = s - y
+            t = y + qm
+            xm_new = _ns_psd_mat(t, ns_iter)
+            qm_new = t - xm_new
+            crit = jnp.sum(
+                jnp.abs(pm_new - pm) ** 2, axis=(-2, -1)
+            ) + jnp.sum(jnp.abs(qm_new - qm) ** 2, axis=(-2, -1))
+            return (xm_new, pm_new, qm_new, jnp.max(crit.real)), None
+
+        (xm, pm, qm, crit), _ = jax.lax.scan(
+            body,
+            (xm, pm, qm, jnp.asarray(jnp.inf, rdtype())),
+            None,
+            length=n_steps,
+        )
+        scale = jnp.asarray(1.0 / 2**n2, rdtype())
+        return (
+            matrix_to_bloch(xm),
+            matrix_to_bloch(pm),
+            matrix_to_bloch(qm),
+            crit * scale,
+        )
 
     def body(carry, _):
         x, p, q, _ = carry
-        return _dykstra_step(x, p, q, cp_fn), None
+        return _dykstra_step(x, p, q, cp_project_bloch), None
 
     (x, p, q, crit), _ = jax.lax.scan(
         body, (x, p, q, jnp.asarray(jnp.inf, rdtype())), None, length=n_steps
@@ -789,7 +860,10 @@ def estimate_dys_factored(
         # but at 4096-dim each NS prox is ~9 TFLOP of matmuls (~0.5 s), so
         # the 6-qubit chunk stays small
         if cp == "ns":
-            chunk = 500 if d1 <= 1024 else 60
+            # measured: one NS Dykstra step at 4096-dim is ~2 s of matmuls
+            # (round-2 cleanup, docs/benchmarks.md) — 20 per call keeps the
+            # 6-qubit chunks under the kill threshold
+            chunk = 500 if d1 <= 1024 else 20
         else:
             chunk = 200 if big else 500
     if gamma is None:

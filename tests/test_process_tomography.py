@@ -448,3 +448,16 @@ def test_point_estimate_n_iter_honored():
     tmg.experiment(500, "proj-set")
     est = tmg.point_estimate("dys", n_iter=3)
     assert est.choi.bloch.shape == (16,)
+
+
+def test_tp_project_mat_matches_bloch():
+    """The matrix-space TP projection (used inside the NS Dykstra chunk)
+    equals the bloch-coordinate projection."""
+    from quantpy_tpu.ops.paulis import np_bloch_to_matrix, np_matrix_to_bloch
+
+    rng = np.random.default_rng(41)
+    bloch = rng.normal(size=(3, 256))
+    ref = np.asarray(process_core.tp_project_bloch(bloch))
+    mats = np_bloch_to_matrix(bloch, 4)
+    out = np.asarray(process_core._tp_project_mat(mats))
+    np.testing.assert_allclose(np_matrix_to_bloch(out), ref, atol=1e-10)
