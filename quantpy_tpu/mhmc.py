@@ -238,9 +238,66 @@ class MHMC:
         self.x_t = jnp.asarray(x_init, dtype=rdtype())
         self.burned = False
 
+    #: optional cap on chain steps per device call — long projected chains
+    #: (4-qubit process proposals run a 100-iteration NS Dykstra each, ~20
+    #: ms/step) exceed the axon runtime's ~60 s single-execution kill in
+    #: one fused call (measured round 3); intervals set this to host-chunk
+    #: the scan. None = one call (the default, exact previous behavior).
+    max_steps_per_call: int | None = None
+
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _run_span(self, key, x0, n_steps, keep_every, n_chains=None):
+        """`_run_chain`, host-chunked to `max_steps_per_call` steps per
+        device call (the chain state resumes across calls; each chunk is a
+        multiple of keep_every so thinning is unaffected). With `n_chains`
+        the span runs vmapped over leading axes of x0 / per-chain keys.
+        Returns (kept samples, total accepted, final state)."""
+        total = int(n_steps)
+        keep = int(keep_every)
+        cap = self.max_steps_per_call or total
+        if keep >= cap:
+            # burn-style span: callers only use the final state — keep one
+            # sample per call instead of fusing the whole span
+            keep_mode_burn = True
+        else:
+            keep_mode_burn = False
+            cap = max(keep, (cap // keep) * keep)
+        xs_parts = []
+        accepted = 0.0
+        x = x0
+        remaining = total
+        while remaining > 0:
+            step_n = min(cap, remaining)
+            keep = step_n if keep_mode_burn else keep
+            key, sub = jax.random.split(key)
+            if n_chains is None:
+                xs, acc = _run_chain(
+                    sub, x, self.target_logpdf, self.update_rule,
+                    self.jump_fn, self.step, step_n, keep,
+                    jump_logpdf=self.jump_logpdf,
+                )
+                x = xs[-1]
+            else:
+                chain_keys = jax.random.split(sub, n_chains)
+
+                def one(k, x1):
+                    return _run_chain(
+                        k, x1, self.target_logpdf, self.update_rule,
+                        self.jump_fn, self.step, step_n, keep,
+                        jump_logpdf=self.jump_logpdf,
+                    )
+
+                xs, acc = jax.vmap(one)(chain_keys, x)
+                x = xs[:, -1]
+                acc = jnp.sum(acc)
+            xs_parts.append(xs)
+            accepted += float(acc)
+            remaining -= step_n
+        axis = 0 if n_chains is None else 1
+        return jnp.concatenate(xs_parts, axis=axis), accepted, x
 
     def adapt_step(
         self,
@@ -248,30 +305,38 @@ class MHMC:
         segment: int = 200,
         max_rounds: int = 12,
         bounds: tuple = (0.05, 0.5),
+        confirm: int = 1,
     ) -> float:
         """Tune the proposal scale during burn-in toward an acceptance-rate
         window (TPU-native extension; the reference has no adaptation and
         its defaults easily land at ~0 or ~100 percent acceptance).
 
         Runs short chain segments, doubling/halving `step` until the
-        acceptance rate lies in `bounds`. Leaves the chain warm (burned)
-        at the adapted scale and returns the final step.
+        acceptance rate lies in `bounds` for `confirm` consecutive
+        segments (confirm > 1 guards against the descent-phase mirage: a
+        chain started away from the mode accepts most downhill proposals,
+        so a single in-window segment can reflect transient descent rather
+        than equilibrium acceptance — measured on 4-qubit process chains).
+        Leaves the chain warm (burned) at the adapted scale and returns
+        the final step.
         """
         lo, hi = bounds
+        streak = 0
         for _ in range(max_rounds):
-            xs, accepted = _run_chain(
-                self._next_key(), self.x_t, self.target_logpdf,
-                self.update_rule, self.jump_fn, self.step, segment, 1,
-                jump_logpdf=self.jump_logpdf,
+            _, accepted, self.x_t = self._run_span(
+                self._next_key(), self.x_t, segment, 1
             )
-            self.x_t = xs[-1]
             rate = float(accepted) / segment
             if rate < lo:
                 self.step /= 2.0
+                streak = 0
             elif rate > hi:
                 self.step *= 2.0
+                streak = 0
             else:
-                break
+                streak += 1
+                if streak >= confirm:
+                    break
         self.burned = True
         return self.step
 
@@ -284,49 +349,32 @@ class MHMC:
         """
         del verbose
         if not self.burned and self.burn_steps > 0:
-            xs, _ = _run_chain(
-                self._next_key(),
-                self.x_t,
-                self.target_logpdf,
-                self.update_rule,
-                self.jump_fn,
-                self.step,
-                int(self.burn_steps),
+            _, _, self.x_t = self._run_span(
+                self._next_key(), self.x_t, int(self.burn_steps),
                 max(int(self.burn_steps), 1),
-                jump_logpdf=self.jump_logpdf,
             )
-            self.x_t = xs[-1]
             self.burned = True
         total = int(n_samples) * int(thinning)
-        xs, accepted = _run_chain(
-            self._next_key(),
-            self.x_t,
-            self.target_logpdf,
-            self.update_rule,
-            self.jump_fn,
-            self.step,
-            total,
-            int(thinning),
-            jump_logpdf=self.jump_logpdf,
+        xs, accepted, self.x_t = self._run_span(
+            self._next_key(), self.x_t, total, int(thinning)
         )
-        self.x_t = xs[-1]
-        return np.asarray(xs), float(accepted) / total
+        return np.asarray(xs), accepted / total
 
     def sample_chains(self, n_samples: int, n_chains: int, thinning: int = 1):
         """TPU-native extension: `n_chains` independent chains vmapped in
         parallel from the current point, each with its own burn-in.
         Returns (samples (n_chains, n_samples, dim), acceptance_rate)."""
-        keys = jax.random.split(self._next_key(), n_chains)
-        total = int(n_samples) * int(thinning) + int(self.burn_steps)
-
-        def one(key):
-            xs, acc = _run_chain(
-                key, self.x_t, self.target_logpdf, self.update_rule,
-                self.jump_fn, self.step, total, 1,
-                jump_logpdf=self.jump_logpdf,
+        x0 = jnp.broadcast_to(self.x_t, (n_chains,) + self.x_t.shape)
+        burn = int(self.burn_steps)
+        acc_total = 0.0
+        if burn > 0:
+            _, acc_b, x0 = self._run_span(
+                self._next_key(), x0, burn, max(burn, 1), n_chains=n_chains
             )
-            kept = xs[int(self.burn_steps) :]
-            return kept[int(thinning) - 1 :: int(thinning)], acc
-
-        xs, acc = jax.vmap(one)(keys)
-        return np.asarray(xs), float(jnp.sum(acc)) / (n_chains * total)
+            acc_total += acc_b
+        total = int(n_samples) * int(thinning)
+        xs, acc_s, _ = self._run_span(
+            self._next_key(), x0, total, int(thinning), n_chains=n_chains
+        )
+        acc_total += acc_s
+        return np.asarray(xs), acc_total / (n_chains * (total + burn))

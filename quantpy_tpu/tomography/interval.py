@@ -1048,7 +1048,16 @@ class MHMCProcessInterval(ConfidenceInterval):
         jump_distr=None,
         mesh=None,
         jump_logpdf=None,
+        temper: bool = False,
     ):
+        """`temper=False` (the default) samples exp(-NLL) with the
+        raw-count NLL exactly like the reference (process.py:310-314) —
+        at 4+ qubits the ~10^7-count posterior is so peaked that a
+        random-walk chain needs microscopic steps and mixes glacially.
+        `temper=True` divides the NLL by the total count (the same
+        flattening MHMCStateInterval applies by default), giving an
+        O(1)-width target a chain can actually traverse — the practical
+        recipe for 4-qubit process sampling (docs/benchmarks.md)."""
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
             thinning=thinning, warm_start=warm_start, method=method,
@@ -1057,7 +1066,7 @@ class MHMCProcessInterval(ConfidenceInterval):
             use_new_estimate=use_new_estimate, channel=channel,
             verbose=verbose, return_samples=return_samples, key=key,
             adapt_step=adapt_step, n_chains=n_chains, jump_distr=jump_distr,
-            mesh=mesh, jump_logpdf=jump_logpdf,
+            mesh=mesh, jump_logpdf=jump_logpdf, temper=temper,
         )
 
     def setup(self):
@@ -1079,8 +1088,13 @@ class MHMCProcessInterval(ConfidenceInterval):
         dim = 16**self.tmg.channel.n_qubits
         if not (self.warm_start and hasattr(self, "chain")):
             x_init = np.asarray(self.channel.choi.bloch, dtype=np.float64)
+            scale = (
+                1.0 / float(sum(np.sum(t.n_measurements) for t in self.tmg.tomographs))
+                if self.temper
+                else 1.0
+            )
             self.chain = MHMC(
-                lambda x: -self.tmg._nll(x),
+                lambda x: -scale * self.tmg._nll(x),
                 jump_distr=self.jump_distr,
                 step=self.step,
                 burn_steps=self.burn_steps,
@@ -1091,11 +1105,18 @@ class MHMCProcessInterval(ConfidenceInterval):
                 x_init=x_init,
                 key=self.key,
             )
+            if self.tmg.channel.n_qubits >= 4:
+                # each NS-projected proposal is ~20 ms on chip; a fused
+                # multi-thousand-step scan exceeds the axon ~60 s
+                # single-execution kill (measured) — host-chunk the chain
+                self.chain.max_steps_per_call = max(
+                    100, 1200 // max(self.n_chains, 1)
+                )
             if self.adapt_step:
                 # the Choi bloch space is 16^n-dimensional; reaching a ~25
                 # percent acceptance from a generic starting scale can take
                 # 15+ halvings at 4 qubits (measured: 0.002 -> ~1e-7)
-                self.chain.adapt_step(segment=100, max_rounds=24)
+                self.chain.adapt_step(segment=100, max_rounds=24, confirm=2)
         if self.n_chains > 1 and self.mesh is not None:
             if self.jump_logpdf is not None:
                 raise NotImplementedError(

@@ -249,7 +249,7 @@ class ProcessTomograph:
                 # at 5q/2000 iters: 61.5 s vs 370.8 s for eigh at identical
                 # hs-to-truth and TP residual (docs/benchmarks.md)
                 choi_bloch = process_core.cptp_project_bloch_host(
-                    choi_bloch, tol=self._cptp_tol(tol), chunk=200, cp="ns"
+                    choi_bloch, tol=self._cptp_tol(tol), cp="ns"
                 )
             self.reconstructed_channel = Channel(
                 Qobj(np.asarray(choi_bloch, dtype=np.float64))

@@ -379,7 +379,7 @@ def cptp_project_bloch_host(
     choi_bloch,
     max_iter: int = 2000,
     tol: float | None = None,
-    chunk: int = 100,
+    chunk: int | None = None,
     cp: str = "eigh",
 ):
     """Host-chunked twin of :func:`cptp_project_bloch` for large Choi
@@ -389,8 +389,14 @@ def cptp_project_bloch_host(
     run per device call with the stop criterion checked between calls.
     `cp='ns'` swaps the per-iteration eigh for the Newton-Schulz matmul
     projection (cp_project_bloch_ns) — ~ms instead of ~13 s per 4096-dim
-    CP step, at an accuracy floor ample for short denoising cleanups."""
+    CP step, at an accuracy floor ample for short denoising cleanups.
+    `chunk=None` sizes the per-call iteration count by the Choi matrix
+    dimension (one 4096-dim NS Dykstra step is ~2 s of matmuls — 100 of
+    them per call gets the execution killed, measured round 3)."""
     x = jnp.asarray(choi_bloch, dtype=rdtype())
+    if chunk is None:
+        mat_dim = int(round(math.sqrt(x.shape[-1])))
+        chunk = 10 if mat_dim >= 4096 else 100
     p = jnp.zeros_like(x)
     q = jnp.zeros_like(x)
     tol = default_cptp_tol(tol)
@@ -889,7 +895,7 @@ def estimate_dys_factored(
     # x_g is CP by construction; a final short Dykstra squares away the
     # (already small) TP residual
     if big:
-        return cptp_project_bloch_host(x_g, max_iter=200, chunk=100, cp="ns")
+        return cptp_project_bloch_host(x_g, max_iter=200, cp="ns")
     return cptp_project_bloch(x_g, 200)
 
 
