@@ -322,6 +322,7 @@ class MHMC:
         """
         lo, hi = bounds
         streak = 0
+        step0 = self.step
         for _ in range(max_rounds):
             _, accepted, self.x_t = self._run_span(
                 self._next_key(), self.x_t, segment, 1
@@ -331,7 +332,12 @@ class MHMC:
                 self.step /= 2.0
                 streak = 0
             elif rate > hi:
-                self.step *= 2.0
+                # growth is capped: on a near-flat target (e.g. a heavily
+                # tempered posterior) acceptance stays ~1 at ANY scale and
+                # unbounded doubling blasts the chain out of the feasible
+                # region faster than a projected update can recover
+                # (measured: 24 doublings -> step 1.7e5, samples 4e6 away)
+                self.step = min(self.step * 2.0, 64.0 * step0)
                 streak = 0
             else:
                 streak += 1

@@ -462,11 +462,19 @@ def channel_l2_moments_kron(
         v = v.reshape(s_count, nz, dp)
         return jnp.sum(u_all * v, axis=(0, 2))
 
-    # ---- exact mean ----
-    tr_mp = np.concatenate([
-        np.asarray(tr_mp_chunk(jnp.asarray(x[lo : lo + state_chunk], rd)))
+    # upload the interleaved frequency tensor ONCE (at 6 qubits it is
+    # ~760 MB in f32; per-chunk host slices would re-ship it through the
+    # device tunnel once per probe batch)
+    x_dev = jnp.asarray(x, rd)
+    chunks = [
+        jax.lax.slice_in_dim(x_dev, lo, min(lo + state_chunk, s_count), axis=0)
         for lo in range(0, s_count, state_chunk)
-    ])
+    ]
+
+    # ---- exact mean ----
+    tr_mp = np.concatenate(
+        [np.asarray(tr_mp_chunk(c)) for c in chunks]
+    )
     mean = float(cs_diag @ tr_mp) / n_trials
 
     # ---- Hutchinson Frobenius term ----
@@ -480,11 +488,9 @@ def channel_l2_moments_kron(
         z = jax.random.rademacher(
             sub, (nz,) + (4,) * n, dtype=rd
         )
-        u_parts = [
-            u_probe_chunk(jnp.asarray(x[lo : lo + state_chunk], rd), z)
-            for lo in range(0, s_count, state_chunk)
-        ]
-        u_all = jnp.concatenate(u_parts, axis=0)  # (S, nz, 4^n)
+        u_all = jnp.concatenate(
+            [u_probe_chunk(c, z) for c in chunks], axis=0
+        )  # (S, nz, 4^n)
         u_sum += float(jnp.sum(w_quadratic(u_all)))
         done += nz
     fro2 = u_sum / n_probes
