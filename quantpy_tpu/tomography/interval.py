@@ -1024,7 +1024,13 @@ class MHMCProcessInterval(ConfidenceInterval):
     """Likelihood sampling over Choi matrices with CPTP-projected proposals
     (reference interval.py:762-850). Samples live in the real Choi-bloch
     space (the reference samples complex vecs; every proposal is CPTP-
-    projected in both versions, so the support is identical)."""
+    projected in both versions, so the support is identical). At
+    `PROJECTED_TARGET_QUBITS`+ the chain switches to the projected-
+    likelihood formulation (see setup) — the reference scheme freezes
+    there (measured; docs/benchmarks.md)."""
+
+    #: from this qubit count on, sample the projected-likelihood target
+    PROJECTED_TARGET_QUBITS = 4
 
     def __init__(
         self,
@@ -1086,6 +1092,7 @@ class MHMCProcessInterval(ConfidenceInterval):
                 states_init=self.states_init,
             )
         dim = 16**self.tmg.channel.n_qubits
+        big = self.tmg.channel.n_qubits >= self.PROJECTED_TARGET_QUBITS
         if not (self.warm_start and hasattr(self, "chain")):
             x_init = np.asarray(self.channel.choi.bloch, dtype=np.float64)
             scale = (
@@ -1093,13 +1100,44 @@ class MHMCProcessInterval(ConfidenceInterval):
                 if self.temper
                 else 1.0
             )
+            if big:
+                # projected-likelihood target: sample UNCONSTRAINED y
+                # against exp(-NLL(P(y))) with P the (NS) CPTP projection,
+                # and report P(y). The reference scheme (project the
+                # proposal, then compare raw NLLs, interval.py:839 +
+                # process.py:280-282) freezes at 4 qubits: a truncated
+                # projection's output is not a fixed point of the
+                # projection, so project(x + tiny) jumps by the retained
+                # infeasibility residual and the ~1e7-count NLL amplifies
+                # that into certain rejection (measured: acceptance 0.000
+                # at step 1e-9). NLL(P(y)) is continuous in y, so small
+                # steps accept and standard adaptation works; the sampled
+                # law is the projection pushforward of the same
+                # likelihood. Documented divergence at 4+ qubits only.
+                from . import process_core
+                from ..mhmc import basic_update
+
+                cptp_tol = process_core.default_cptp_tol(1e-12)
+
+                def _proj(y):
+                    return process_core.cptp_project_bloch(
+                        y, 100, cptp_tol, "ns"
+                    )
+
+                self._proj = _proj
+                target = lambda y: -scale * self.tmg._nll(_proj(y))  # noqa: E731
+                update_rule = basic_update
+            else:
+                self._proj = None
+                target = lambda y: -scale * self.tmg._nll(y)  # noqa: E731
+                update_rule = self.tmg._cptp_update_rule
             self.chain = MHMC(
-                lambda x: -scale * self.tmg._nll(x),
+                target,
                 jump_distr=self.jump_distr,
                 step=self.step,
                 burn_steps=self.burn_steps,
                 dim=dim,
-                update_rule=self.tmg._cptp_update_rule,
+                update_rule=update_rule,
                 symmetric=self.jump_logpdf is None,
                 jump_logpdf=self.jump_logpdf,
                 x_init=x_init,
@@ -1155,6 +1193,17 @@ class MHMCProcessInterval(ConfidenceInterval):
                 self.n_points, self.thinning, verbose=self.verbose
             )
             chain_shape = (1, samples.shape[0])
+        if getattr(self, "_proj", None) is not None:
+            # projected-likelihood samples live in the unconstrained space;
+            # report their CPTP projections (host-chunked batch)
+            from . import process_core
+
+            samples = np.asarray(
+                process_core.cptp_project_bloch_host(
+                    samples, max_iter=100, chunk=25, cp="ns"
+                ),
+                dtype=np.float64,
+            )
         n2 = 2 * self.tmg.channel.n_qubits
         mats = np_bloch_to_matrix(samples, n2)
         dist = np.asarray(self.tmg.dst(mats, self.channel.choi.matrix))

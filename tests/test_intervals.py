@@ -797,3 +797,22 @@ def test_mhmc_process_tempered(process_tmg):
     d = np.asarray(d)
     assert np.all(np.isfinite(d)) and d[0] <= d[1] + 1e-9
     assert 0.01 < iv.acceptance_rate < 0.99
+
+
+def test_mhmc_process_projected_target(process_tmg, monkeypatch):
+    """The projected-likelihood formulation (the 4+ qubit route, forced
+    here at 1 qubit): chain moves, samples are CPTP after the reported
+    projection, interval is finite and ordered."""
+    from quantpy_tpu.tomography import process_core
+
+    monkeypatch.setattr(
+        qt.MHMCProcessInterval, "PROJECTED_TARGET_QUBITS", 1
+    )
+    iv = qt.MHMCProcessInterval(
+        process_tmg, n_points=60, burn_steps=100, step=0.02,
+        use_new_estimate=True, adapt_step=True, key=7,
+    )
+    d, _ = iv(np.array([0.5, 0.9]))
+    d = np.asarray(d)
+    assert np.all(np.isfinite(d)) and d[0] <= d[1] + 1e-9
+    assert 0.01 < iv.acceptance_rate < 0.999
