@@ -123,24 +123,64 @@ def kron_l2_moments(povm1, n_qubits: int, freq, n_trials, chunk: int | None = No
 
     # <R, S> = sum_{ai} f[ai] * sum_b G[ai, b]^2 with G = V^T T, computed in
     # column chunks of T to bound memory at (m1 p1)^n * chunk
-    f_flat_interleaved = x  # (m1, p1)*n layout
-    rs = 0.0
+    rs = _rs_term(t, x, v1, n, chunk)
+    mean = (tr_r - tr_s) / n_trials
+    variance = 2.0 * (tr_r2 - 2.0 * rs + tr_s2) / n_trials**2
+    return mean, variance
+
+
+#: above this many work-tensor elements per chunk-fold the <R, S> term runs
+#: as jitted device folds (at 7 qubits the host einsum loop was ~100 s of
+#: the 135 s interval setup on this single-core host; the device folds are
+#: the same contractions batched on chip)
+_RS_DEVICE_THRESHOLD = 1 << 22
+
+
+def _rs_term(t, x, v1, n: int, chunk: int | None) -> float:
+    """sum_{ai} f[ai] sum_b (V^T T)[ai, b]^2 over column chunks of T."""
+    import string
+
+    m1, p1 = v1.shape[1], v1.shape[2]
     m_total = t.shape[1]
     if chunk is None:  # keep each chunk's work tensor under ~2^24 entries
         chunk = max(1, (1 << 24) // (m1 * p1) ** n)
-    import string
-
     sub = string.ascii_lowercase[: 2 * n]  # (a1, i1, ..., an, in) letters
+    use_device = chunk * (m1 * p1) ** n > _RS_DEVICE_THRESHOLD
+
+    if use_device:
+        import jax
+        import jax.numpy as jnp
+
+        from ..config import rdtype
+
+        rd = rdtype()
+        v1_d = jnp.asarray(v1, rd)
+        x_d = jnp.asarray(x, rd)
+
+        @jax.jit
+        def rs_chunk(cols):
+            g = cols
+            for _ in range(n):
+                g = jnp.einsum("d...,dai->...ai", g, v1_d)
+            return jnp.einsum(f"z{sub},{sub}->", g * g, x_d)
+
+        rs = 0.0
+        for lo in range(0, m_total, chunk):
+            cols = jnp.asarray(
+                t[:, lo : lo + chunk].reshape((4,) * n + (-1,)), rd
+            )
+            rs += float(rs_chunk(cols))
+        return rs
+
+    rs = 0.0
     for lo in range(0, m_total, chunk):
         cols = t[:, lo : lo + chunk].reshape((4,) * n + (-1,))
         g = cols
         for _ in range(n):
             g = np.einsum("d...,dai->...ai", g, v1)
         # g axes: (B, a1, i1, ..., an, in); contract everything to a scalar
-        rs += float(np.einsum(f"z{sub},{sub}->", g * g, f_flat_interleaved))
-    mean = (tr_r - tr_s) / n_trials
-    variance = 2.0 * (tr_r2 - 2.0 * rs + tr_s2) / n_trials**2
-    return mean, variance
+        rs += float(np.einsum(f"z{sub},{sub}->", g * g, x))
+    return rs
 
 
 def channel_l2_moments(states_matrix, povm_matrix, freq, n_trials):
