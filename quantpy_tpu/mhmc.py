@@ -85,12 +85,12 @@ def resolve_jump_distr(jump_distr):
     jax.jit,
     static_argnames=(
         "logpdf", "update_rule", "jump_fn", "n_steps", "keep_every",
-        "jump_logpdf",
+        "jump_logpdf", "drift_fn",
     ),
 )
 def _run_chain(
     key, x0, logpdf, update_rule, jump_fn, step, n_steps, keep_every,
-    jump_logpdf=None,
+    jump_logpdf=None, drift_fn=None,
 ):
     """Scan a Metropolis chain for n_steps; return every keep_every-th
     state (post-hoc thinning) and the acceptance count.
@@ -100,7 +100,40 @@ def _run_chain(
     for ASYMMETRIC proposals: the acceptance ratio is multiplied by
     q(-delta)/q(delta), exactly the reference's
     `jump_distr.pdf(-delta)/pdf(delta)` branch (quantpy/mhmc.py:99-103).
-    None (the default) means a symmetric proposal — no correction."""
+    None (the default) means a symmetric proposal — no correction.
+
+    `drift_fn` (optional, callable(x) -> grad log pi(x)) switches the
+    chain to MALA: proposal x' = x + (step^2/2) drift(x) + step * xi with
+    xi standard normal, accepted with the exact state-dependent Hastings
+    ratio q(x|x')/q(x'|x). `update_rule`/`jump_logpdf` are ignored and
+    `jump_fn` must sample standard normals in MALA mode."""
+
+    if drift_fn is not None:
+        half = 0.5 * step * step
+
+        def mala_step(carry, key_t):
+            x, logp_x, drift_x = carry
+            k1, k2 = jax.random.split(key_t)
+            xi = jump_fn(k1, x.shape, x.dtype)
+            mu_x = x + half * drift_x
+            x_prime = mu_x + step * xi
+            logp_prime = logpdf(x_prime)
+            drift_prime = drift_fn(x_prime)
+            mu_xp = x_prime + half * drift_prime
+            lq_fwd = -0.5 * jnp.sum(xi**2)
+            lq_bwd = -0.5 * jnp.sum((x - mu_xp) ** 2) / (step * step)
+            log_ratio = logp_prime - logp_x + lq_bwd - lq_fwd
+            accept = jnp.log(jax.random.uniform(k2, dtype=x.dtype)) <= log_ratio
+            x_new = jnp.where(accept, x_prime, x)
+            logp_new = jnp.where(accept, logp_prime, logp_x)
+            drift_new = jnp.where(accept, drift_prime, drift_x)
+            return (x_new, logp_new, drift_new), (x_new, accept)
+
+        keys = jax.random.split(key, n_steps)
+        (_, _, _), (xs, accepts) = jax.lax.scan(
+            mala_step, (x0, logpdf(x0), drift_fn(x0)), keys
+        )
+        return xs[keep_every - 1 :: keep_every], jnp.sum(accepts)
 
     def mh_step(carry, key_t):
         x, logp_x = carry
@@ -215,6 +248,7 @@ class MHMC:
         x_init=None,
         key=None,
         jump_logpdf=None,
+        drift_fn=None,
     ):
         self.jump_fn = resolve_jump_distr(jump_distr)
         if not symmetric and jump_logpdf is None:
@@ -223,7 +257,13 @@ class MHMC:
                 "callable(delta) -> log q(delta) for the Hastings "
                 "correction (reference quantpy/mhmc.py:99-103)"
             )
+        if drift_fn is not None and jump_distr is not None:
+            raise ValueError(
+                "MALA (drift_fn) requires the standard-normal proposal; "
+                "leave jump_distr=None"
+            )
         self.jump_logpdf = None if symmetric else jump_logpdf
+        self.drift_fn = drift_fn
         self.target_logpdf = target_logpdf
         self.step = step
         self.burn_steps = burn_steps
@@ -277,7 +317,7 @@ class MHMC:
                 xs, acc = _run_chain(
                     sub, x, self.target_logpdf, self.update_rule,
                     self.jump_fn, self.step, step_n, keep,
-                    jump_logpdf=self.jump_logpdf,
+                    jump_logpdf=self.jump_logpdf, drift_fn=self.drift_fn,
                 )
                 x = xs[-1]
             else:
@@ -287,7 +327,7 @@ class MHMC:
                     return _run_chain(
                         k, x1, self.target_logpdf, self.update_rule,
                         self.jump_fn, self.step, step_n, keep,
-                        jump_logpdf=self.jump_logpdf,
+                        jump_logpdf=self.jump_logpdf, drift_fn=self.drift_fn,
                     )
 
                 xs, acc = jax.vmap(one)(chain_keys, x)

@@ -1055,15 +1055,21 @@ class MHMCProcessInterval(ConfidenceInterval):
         mesh=None,
         jump_logpdf=None,
         temper: bool = False,
+        proposal: str = "rw",
     ):
         """`temper=False` (the default) samples exp(-NLL) with the
         raw-count NLL exactly like the reference (process.py:310-314) —
         at 4+ qubits the ~10^7-count posterior is so peaked that a
         random-walk chain needs microscopic steps and mixes glacially.
         `temper=True` divides the NLL by the total count (the same
-        flattening MHMCStateInterval applies by default), giving an
-        O(1)-width target a chain can actually traverse — the practical
-        recipe for 4-qubit process sampling (docs/benchmarks.md)."""
+        flattening MHMCStateInterval applies by default); measured at 4
+        qubits it over-flattens (docs/benchmarks.md) — prefer the default.
+        `proposal='mala'` (projected-target mode only) drives the chain
+        with the gradient of the projected-likelihood target through the
+        differentiable NS projection (MALA with the exact state-dependent
+        Hastings ratio) — the measured route to actual mixing at 65k
+        dimensions, where the random walk's autocorrelation time is ~7k
+        steps (docs/benchmarks.md)."""
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
             thinning=thinning, warm_start=warm_start, method=method,
@@ -1073,6 +1079,7 @@ class MHMCProcessInterval(ConfidenceInterval):
             verbose=verbose, return_samples=return_samples, key=key,
             adapt_step=adapt_step, n_chains=n_chains, jump_distr=jump_distr,
             mesh=mesh, jump_logpdf=jump_logpdf, temper=temper,
+            proposal=proposal,
         )
 
     def setup(self):
@@ -1125,8 +1132,26 @@ class MHMCProcessInterval(ConfidenceInterval):
                     )
 
                 self._proj = _proj
-                target = lambda y: -scale * self.tmg._nll(_proj(y))  # noqa: E731
-                if self.jump_distr is None:
+                drift_fn = None
+                if self.proposal == "mala":
+                    # MALA on the projected-likelihood target: the NS
+                    # Dykstra projection is fixed-length scanned matmuls,
+                    # so grad flows through it
+                    # (process_core.cptp_project_bloch_diff); drift and
+                    # logpdf use the SAME differentiable projection so the
+                    # chain is exact for its target
+                    import jax
+
+                    def _target_d(y):
+                        return -scale * self.tmg._nll(
+                            process_core.cptp_project_bloch_diff(y, 100)
+                        )
+
+                    target = _target_d
+                    drift_fn = jax.grad(_target_d)
+                else:
+                    target = lambda y: -scale * self.tmg._nll(_proj(y))  # noqa: E731
+                if self.proposal != "mala" and self.jump_distr is None:
                     # diagonal Fisher preconditioner: an ISOTROPIC walk is
                     # throttled by the stiffest coordinate of the strongly
                     # anisotropic posterior (measured: R-hat ~2 after 8.5k
@@ -1163,7 +1188,13 @@ class MHMCProcessInterval(ConfidenceInterval):
                     self.jump_distr = _precond_jump
                 update_rule = basic_update
             else:
+                if self.proposal == "mala":
+                    raise NotImplementedError(
+                        "proposal='mala' is the projected-target mode "
+                        f"(>= {self.PROJECTED_TARGET_QUBITS} qubits)"
+                    )
                 self._proj = None
+                drift_fn = None
                 target = lambda y: -scale * self.tmg._nll(y)  # noqa: E731
                 update_rule = self.tmg._cptp_update_rule
             self.chain = MHMC(
@@ -1177,22 +1208,31 @@ class MHMCProcessInterval(ConfidenceInterval):
                 jump_logpdf=self.jump_logpdf,
                 x_init=x_init,
                 key=self.key,
+                drift_fn=drift_fn,
             )
             if self.tmg.channel.n_qubits >= 4:
-                # each NS-projected proposal is ~20 ms on chip; a fused
-                # multi-thousand-step scan exceeds the axon ~60 s
-                # single-execution kill (measured) — host-chunk the chain
+                # each NS-projected proposal is ~20 ms on chip (MALA:
+                # ~3x, two gradient passes); a fused multi-thousand-step
+                # scan exceeds the axon ~60 s single-execution kill
+                # (measured) — host-chunk the chain
+                budget = 400 if self.proposal == "mala" else 1200
                 self.chain.max_steps_per_call = max(
-                    100, 1200 // max(self.n_chains, 1)
+                    50, budget // max(self.n_chains, 1)
                 )
             if self.adapt_step:
                 # the Choi bloch space is 16^n-dimensional; reaching a ~25
                 # percent acceptance from a generic starting scale can take
                 # 15+ halvings at 4 qubits; the projected-target path uses
-                # a window centered on the classic 25% RW-MH optimum
+                # a window centered on the classic 25% RW-MH optimum (MALA:
+                # the 57% Roberts-Rosenthal optimum)
+                if self.proposal == "mala":
+                    bounds = (0.4, 0.7)
+                elif big:
+                    bounds = (0.15, 0.4)
+                else:
+                    bounds = (0.05, 0.5)
                 self.chain.adapt_step(
-                    segment=100, max_rounds=24, confirm=2,
-                    bounds=(0.15, 0.4) if big else (0.05, 0.5),
+                    segment=100, max_rounds=24, confirm=2, bounds=bounds,
                 )
         if self.n_chains > 1 and self.mesh is not None:
             if self.jump_logpdf is not None:

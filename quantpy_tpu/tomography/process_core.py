@@ -375,6 +375,38 @@ def _dykstra_chunk(x, p, q, n_steps: int, cp: str = "eigh", ns_iter: int = 34):
     return x, p, q, crit
 
 
+@functools.partial(jax.jit, static_argnames=("n_steps", "ns_iter"))
+def cptp_project_bloch_diff(choi_bloch, n_steps: int = 100, ns_iter: int = 34):
+    """Fixed-length, reverse-differentiable CPTP projection.
+
+    Same math as the `cp='ns'` branch of :func:`_dykstra_chunk` (matrix-
+    space NS Dykstra), but exposed as a pure fixed-iteration map so
+    `jax.grad` can flow through it — the enabler for MALA proposals on the
+    projected-likelihood MHMC target (the while_loop projection is not
+    reverse-differentiable). The Dykstra body is checkpointed: the
+    backward pass recomputes each step's NS sign iteration instead of
+    storing its 34 inner matmul activations (65 MB/step at 4 qubits)."""
+    x = jnp.asarray(choi_bloch, dtype=rdtype())
+    n2 = 2 * _n_from_d2(x.shape[-1])
+    xm = bloch_to_matrix(x, n2)
+    pm = jnp.zeros_like(xm)
+    qm = jnp.zeros_like(xm)
+
+    @jax.checkpoint
+    def body(carry, _):
+        xm, pm, qm = carry
+        s = xm + pm
+        y = _tp_project_mat(s)
+        pm_new = s - y
+        t = y + qm
+        xm_new = _ns_psd_mat(t, ns_iter)
+        qm_new = t - xm_new
+        return (xm_new, pm_new, qm_new), None
+
+    (xm, _, _), _ = jax.lax.scan(body, (xm, pm, qm), None, length=n_steps)
+    return matrix_to_bloch(xm)
+
+
 def cptp_project_bloch_host(
     choi_bloch,
     max_iter: int = 2000,

@@ -816,3 +816,38 @@ def test_mhmc_process_projected_target(process_tmg, monkeypatch):
     d = np.asarray(d)
     assert np.all(np.isfinite(d)) and d[0] <= d[1] + 1e-9
     assert 0.01 < iv.acceptance_rate < 0.999
+
+
+def test_mhmc_process_mala(process_tmg, monkeypatch):
+    """MALA through the differentiable NS projection (forced at 1 qubit):
+    the gradient-driven chain moves, and its distance distribution is
+    consistent with the random-walk projected-target chain."""
+    monkeypatch.setattr(
+        qt.MHMCProcessInterval, "PROJECTED_TARGET_QUBITS", 1
+    )
+    iv = qt.MHMCProcessInterval(
+        process_tmg, n_points=80, burn_steps=150, step=0.005,
+        use_new_estimate=True, adapt_step=True, proposal="mala", key=9,
+    )
+    d, _ = iv(np.array([0.5, 0.9]))
+    d = np.asarray(d)
+    assert np.all(np.isfinite(d)) and d[0] <= d[1] + 1e-9
+    assert 0.05 < iv.acceptance_rate <= 1.0
+    rw = qt.MHMCProcessInterval(
+        process_tmg, n_points=80, burn_steps=150, step=0.02,
+        use_new_estimate=True, adapt_step=True, key=9,
+    )
+    d_rw, _ = rw(np.array([0.5, 0.9]))
+    # same posterior, two samplers: agree within MC noise of short chains
+    assert abs(d[1] - np.asarray(d_rw)[1]) < 0.5 * max(
+        float(np.asarray(d_rw)[1]), 1e-3
+    )
+    # outside projected-target mode MALA is rejected
+    monkeypatch.setattr(
+        qt.MHMCProcessInterval, "PROJECTED_TARGET_QUBITS", 99
+    )
+    with pytest.raises(NotImplementedError):
+        qt.MHMCProcessInterval(
+            process_tmg, n_points=4, proposal="mala",
+            use_new_estimate=True,
+        )(np.array([0.5]))
