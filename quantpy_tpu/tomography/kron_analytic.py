@@ -116,10 +116,24 @@ def kron_l2_moments(povm1, n_qubits: int, freq, n_trials, chunk: int | None = No
     tr_r = _kron_diag_contract(x, diag_c1, n)
     tr_r2 = _kron_quadform(x, c1 * c1, n)
 
-    t = _compute_t(x, v1, n)  # (4^n, m1^n)
+    t = _compute_t(x, v1, n)  # (4^n, m1^n); host folds — the per-qubit
+    # einsum chain carries minor dims of 4/6 that relayout pathologically
+    # on TPU (measured: the device twin of this fold chain was >20 min at
+    # 7 qubits vs seconds on host)
     tr_s = float(np.sum(t * t))
-    y = t.T @ t  # (m1^n, m1^n)
-    tr_s2 = float(np.sum(y * y))
+    if t.size > _RS_DEVICE_THRESHOLD:
+        # ... but the T^T T Gram is one dense 160-GFLOP gemm at 7 qubits —
+        # ~a minute of single-core BLAS, sub-second on the MXU
+        import jax.numpy as jnp
+
+        from ..config import rdtype
+
+        t_dev = jnp.asarray(t, rdtype())
+        y = t_dev.T @ t_dev
+        tr_s2 = float(jnp.sum(y * y))
+    else:
+        y = t.T @ t  # (m1^n, m1^n)
+        tr_s2 = float(np.sum(y * y))
 
     # <R, S> = sum_{ai} f[ai] * sum_b G[ai, b]^2 with G = V^T T, computed in
     # column chunks of T to bound memory at (m1 p1)^n * chunk
