@@ -1056,6 +1056,7 @@ class MHMCProcessInterval(ConfidenceInterval):
         jump_logpdf=None,
         temper: bool = False,
         proposal: str = "rw",
+        precondition: bool = True,
     ):
         """`temper=False` (the default) samples exp(-NLL) with the
         raw-count NLL exactly like the reference (process.py:310-314) —
@@ -1069,7 +1070,11 @@ class MHMCProcessInterval(ConfidenceInterval):
         differentiable NS projection (MALA with the exact state-dependent
         Hastings ratio) — the measured route to actual mixing at 65k
         dimensions, where the random walk's autocorrelation time is ~7k
-        steps (docs/benchmarks.md)."""
+        steps (docs/benchmarks.md). `precondition=True` (the default)
+        runs the MALA chain in Kronecker-Fisher-whitened coordinates
+        (process_core.kron_fisher_whitener) — unpreconditioned MALA's
+        stable step is set by the stiffest Hessian direction and the
+        chain barely moves (measured: R-hat 7.9)."""
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
             thinning=thinning, warm_start=warm_start, method=method,
@@ -1079,7 +1084,7 @@ class MHMCProcessInterval(ConfidenceInterval):
             verbose=verbose, return_samples=return_samples, key=key,
             adapt_step=adapt_step, n_chains=n_chains, jump_distr=jump_distr,
             mesh=mesh, jump_logpdf=jump_logpdf, temper=temper,
-            proposal=proposal,
+            proposal=proposal, precondition=precondition,
         )
 
     def setup(self):
@@ -1101,6 +1106,7 @@ class MHMCProcessInterval(ConfidenceInterval):
         dim = 16**self.tmg.channel.n_qubits
         big = self.tmg.channel.n_qubits >= self.PROJECTED_TARGET_QUBITS
         if not (self.warm_start and hasattr(self, "chain")):
+            self._to_x = None
             x_init = np.asarray(self.channel.choi.bloch, dtype=np.float64)
             scale = (
                 1.0 / float(sum(np.sum(t.n_measurements) for t in self.tmg.tomographs))
@@ -1133,6 +1139,55 @@ class MHMCProcessInterval(ConfidenceInterval):
 
                 self._proj = _proj
                 drift_fn = None
+                unwhiten = None
+                if self.precondition:
+                    # Kronecker-Fisher whitening (both proposals): the
+                    # 65k-dim posterior is strongly anisotropic and the
+                    # stiffness is not axis-aligned (a diagonal Fisher
+                    # preconditioner did not cut R-hat; unpreconditioned
+                    # MALA's stable step is set by the stiffest Hessian
+                    # direction — measured, docs/benchmarks.md). Running
+                    # the SAME chain in the whitened coordinates
+                    # z = (L_B^T (x) L_W^T) x is exactly a chain with
+                    # proposal covariance ~ H^-1 of the K-FAC Gauss-Newton
+                    # metric (kron_fisher_whitener): two d1 x d1 matmuls
+                    # per target call, negligible next to the 100-step NS
+                    # projection.
+                    import jax.numpy as jnp
+
+                    from ..config import rdtype
+
+                    t0 = self.tmg.tomographs[0]
+                    a_b, a_w, l_b, l_w = process_core.kron_fisher_whitener(
+                        self.tmg._input_blochs_t(),
+                        np.asarray(
+                            state_core.weighted_povm_flat(
+                                t0.povm_matrix, t0.n_measurements
+                            )
+                        ),
+                        np.concatenate(
+                            [t.flat_results for t in self.tmg.tomographs]
+                        ),
+                        x_init,
+                    )
+                    d1 = a_b.shape[0]
+                    a_b_dev = jnp.asarray(a_b, rdtype())
+                    a_w_t_dev = jnp.asarray(a_w.T, rdtype())
+
+                    def unwhiten(z):
+                        return (
+                            a_b_dev @ z.reshape(d1, d1) @ a_w_t_dev
+                        ).reshape(-1)
+
+                    def _to_x(zs):
+                        z3 = np.asarray(zs, np.float64).reshape(-1, d1, d1)
+                        return (a_b @ (z3 @ a_w.T)).reshape(z3.shape[0], -1)
+
+                    self._to_x = _to_x
+                    # chain state lives in z: whiten the start point
+                    x_init = (
+                        l_b.T @ x_init.reshape(d1, d1) @ l_w
+                    ).reshape(-1)
                 if self.proposal == "mala":
                     # MALA on the projected-likelihood target: the NS
                     # Dykstra projection is fixed-length scanned matmuls,
@@ -1142,23 +1197,39 @@ class MHMCProcessInterval(ConfidenceInterval):
                     # chain is exact for its target
                     import jax
 
-                    def _target_d(y):
-                        return -scale * self.tmg._nll(
-                            process_core.cptp_project_bloch_diff(y, 100)
-                        )
+                    if unwhiten is not None:
+
+                        def _target_d(z):
+                            return -scale * self.tmg._nll(
+                                process_core.cptp_project_bloch_diff(
+                                    unwhiten(z), 100
+                                )
+                            )
+
+                    else:
+
+                        def _target_d(y):
+                            return -scale * self.tmg._nll(
+                                process_core.cptp_project_bloch_diff(y, 100)
+                            )
 
                     target = _target_d
                     drift_fn = jax.grad(_target_d)
+                elif unwhiten is not None:
+                    target = lambda z: -scale * self.tmg._nll(_proj(unwhiten(z)))  # noqa: E731
                 else:
                     target = lambda y: -scale * self.tmg._nll(_proj(y))  # noqa: E731
-                if self.proposal != "mala" and self.jump_distr is None:
-                    # diagonal Fisher preconditioner: an ISOTROPIC walk is
-                    # throttled by the stiffest coordinate of the strongly
-                    # anisotropic posterior (measured: R-hat ~2 after 8.5k
-                    # steps/chain). The design is A = 4^n (B (x) W), so
-                    # diag(A^T A) = 16^n colsq(B) (x) colsq(W) — per-axis
-                    # proposal scales ~1/sqrt(I_dd) for free, still a
-                    # symmetric proposal (fixed scales, no Hastings term)
+                if (
+                    not self.precondition
+                    and self.proposal != "mala"
+                    and self.jump_distr is None
+                ):
+                    # legacy diagonal Fisher proposal (precondition=False):
+                    # per-axis scales ~ 1/sqrt(diag(A^T A)) with
+                    # diag(A^T A) = 16^n colsq(B) (x) colsq(W) — still a
+                    # symmetric proposal (fixed scales, no Hastings term).
+                    # Kept as the fallback the K-FAC whitening superseded
+                    # (measured: the diagonal did not reduce R-hat).
                     import jax.numpy as jnp
 
                     from ..config import rdtype
@@ -1239,6 +1310,19 @@ class MHMCProcessInterval(ConfidenceInterval):
                 raise NotImplementedError(
                     "mesh-sharded chains support symmetric proposals only"
                 )
+            if self.proposal == "mala":
+                raise NotImplementedError(
+                    "mesh-sharded chains run the random-walk proposal; "
+                    "MALA chains parallelize with n_chains alone (vmap)"
+                )
+            if big:
+                raise NotImplementedError(
+                    "mesh-sharded chains implement the project-the-"
+                    "proposal scheme, which freezes at "
+                    f">= {self.PROJECTED_TARGET_QUBITS} qubits "
+                    "(docs/benchmarks.md); use n_chains without a mesh "
+                    "(vmapped projected-target chains) there"
+                )
             from ..parallel import sharded_mhmc_process_chains
 
             t0 = self.tmg.tomographs[0]
@@ -1272,6 +1356,10 @@ class MHMCProcessInterval(ConfidenceInterval):
                 self.n_points, self.thinning, verbose=self.verbose
             )
             chain_shape = (1, samples.shape[0])
+        if getattr(self, "_to_x", None) is not None:
+            # preconditioned-MALA samples live in the whitened z space;
+            # map back to Choi bloch before the reported projection
+            samples = self._to_x(samples)
         if getattr(self, "_proj", None) is not None:
             # projected-likelihood samples live in the unconstrained space;
             # report their CPTP projections (host-chunked batch)

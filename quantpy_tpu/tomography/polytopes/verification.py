@@ -122,7 +122,6 @@ def qpt_problem(channel, n_measurements, input_states="sic"):
     tmg = ProcessTomograph(channel, input_states=input_states)
     n = channel.n_qubits
     dim = 4**n
-    bloch_indices = [i for i in range(dim**2) if i % dim != 0]
 
     povm_matrix = generate_measurement_matrix("proj-set", n)
     m = povm_matrix.shape[0]
@@ -132,10 +131,15 @@ def qpt_problem(channel, n_measurements, input_states="sic"):
         povm_matrix * n_meas[:, None, None] / n_meas.sum()
     ).reshape(-1, povm_matrix.shape[-1]) * m
     states_matrix = tmg._input_blochs_t()
-    a_matrix = (
-        np.einsum("ia,jb->ijab", states_matrix, meas_flat[:, 1:]) * dim
-    ).reshape(states_matrix.shape[0] * meas_flat.shape[0], -1)
-    polytope_prod = a_matrix @ np.asarray(channel.choi.bloch)[bloch_indices]
+    # the constraint rows factor as a[(s,j)] = dim * b_s (x) w_j with the
+    # W-side identity component dropped (the reference's bloch_indices mask,
+    # i.e. every (a, b) with b > 0), so A @ x never needs the materialized
+    # (S*K, dim^2 - dim) operator — at 4 qubits that operator would be
+    # ~170 GB, the wall that kept coverage verification at <= 3 qubits
+    choi_rect = np.asarray(channel.choi.bloch).reshape(dim, dim)[:, 1:]
+    polytope_prod = (
+        dim * states_matrix @ choi_rect @ meas_flat[:, 1:].T
+    ).reshape(-1)
     base_offset = np.tile(meas_flat[:, 0], states_matrix.shape[0])
 
     out_blochs = np.stack(

@@ -54,6 +54,7 @@ __all__ = [
     "pgdb_factored_step",
     "process_nll",
     "process_nll_factored",
+    "kron_fisher_whitener",
 ]
 
 _CP_EPS = 1e-12  # eigenvalue floor of the CP projection (process.py:270-278)
@@ -965,3 +966,64 @@ def estimate_pgdb_factored_host(
         if float(np.asarray(delta)) <= tol:
             break
     return cptp_project_bloch(x, cptp_iter, cptp_tol)
+
+
+def kron_fisher_whitener(
+    input_blochs_t, w_flat, flat_counts, choi_bloch_hat, ridge: float = 1e-4
+):
+    """Kronecker-factored Gauss-Newton whitener of the process NLL at a
+    point estimate — the preconditioner for MALA process sampling.
+
+    The factored measurement model is p[s, k] = D1 * (B X W^T)[s, k]
+    (:func:`process_nll_factored`), so the NLL's Gauss-Newton matrix at
+    X_hat is a weighted sum of Kronecker squares,
+
+        H  =  D1^2 * sum_{s,k} r[s,k] (b_s b_s^T) (x) (w_k w_k^T),
+        r[s,k] = c[s,k] / p_hat[s,k]^2 .
+
+    The rank-1 (independence) fit r[s,k] ~ u[s] v[k] / sum(r) turns H into
+    one Kronecker product H ~ F_B (x) F_W with F_B = B^T diag(u) B and
+    F_W = W^T diag(v) W — the K-FAC recipe specialized to the bilinear
+    tomography design, computable with two D1 x D1 Grams instead of the
+    16^n x 16^n Hessian. Each factor gets a relative ridge
+    `ridge * tr(F)/D1` before Cholesky: it bounds the amplification of the
+    design's null directions (the TP-fixed coordinates the projection
+    overwrites and anything outside the POVM row span), which carry no
+    likelihood curvature.
+
+    Returns host float64 ``(a_b, a_w, l_b, l_w)`` with F = L L^T per side:
+    the whitening map is z = (L_B^T (x) L_W^T) x and the unwhitening map
+    x = (A_B (x) A_W) z with A = L^{-T}, so a unit-isotropic MALA step in z
+    is exactly Fisher-preconditioned MALA in x (proposal covariance
+    ~ H^{-1}). No reference counterpart (the reference's sampler is an
+    isotropic random walk, quantpy/tomography/interval.py:762-850).
+    """
+    from scipy.linalg import solve_triangular
+
+    b = np.asarray(input_blochs_t, dtype=np.float64)
+    w = np.asarray(w_flat, dtype=np.float64)
+    d1 = b.shape[-1]
+    c = np.asarray(flat_counts, dtype=np.float64).reshape(b.shape[0], -1)
+    x_hat = np.asarray(choi_bloch_hat, dtype=np.float64).reshape(d1, d1)
+    p_hat = d1 * (b @ x_hat @ w.T)
+    # floor the model probabilities at half a count of the busiest row so a
+    # boundary estimate (p_hat ~ 0 where c > 0) cannot blow up one weight
+    floor = 0.5 / max(float(c.sum(axis=-1).max()), 1.0)
+    p_hat = np.maximum(p_hat, floor)
+    r = c / (p_hat * p_hat)
+    total = float(r.sum())
+    if total <= 0.0:  # no counts at all — fall back to the identity metric
+        eye = np.eye(d1)
+        return eye, eye, eye, eye
+    u = r.sum(axis=1)
+    v = r.sum(axis=0) / total
+    f_b = (b * u[:, None]).T @ b
+    f_w = (w * v[:, None]).T @ w
+    out = []
+    for f in (f_b, f_w):
+        lam = ridge * float(np.trace(f)) / d1
+        l = np.linalg.cholesky(f + lam * np.eye(d1))
+        a = solve_triangular(l, np.eye(d1), lower=True).T  # L^{-T}
+        out.append((a, l))
+    (a_b, l_b), (a_w, l_w) = out
+    return a_b, a_w, l_b, l_w

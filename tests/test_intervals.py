@@ -851,3 +851,50 @@ def test_mhmc_process_mala(process_tmg, monkeypatch):
             process_tmg, n_points=4, proposal="mala",
             use_new_estimate=True,
         )(np.array([0.5]))
+
+
+def test_kron_fisher_whitener_roundtrip(process_tmg):
+    """The whitening/unwhitening pair is an exact inverse, and the
+    whitened Gauss-Newton metric is isotropic: C^T (F_B (x) F_W) C = I
+    for C = A_B (x) A_W (the property that makes unit-step MALA in z
+    Fisher-preconditioned MALA in x)."""
+    from quantpy_tpu.tomography import process_core, state_core
+
+    t0 = process_tmg.tomographs[0]
+    w = np.asarray(
+        state_core.weighted_povm_flat(t0.povm_matrix, t0.n_measurements)
+    )
+    flat = np.concatenate([t.flat_results for t in process_tmg.tomographs])
+    x_hat = np.asarray(process_tmg.reconstructed_channel.choi.bloch)
+    a_b, a_w, l_b, l_w = process_core.kron_fisher_whitener(
+        process_tmg._input_blochs_t(), w, flat, x_hat
+    )
+    d1 = a_b.shape[0]
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(d1, d1))
+    z = l_b.T @ x @ l_w          # whiten
+    x_back = a_b @ z @ a_w.T     # unwhiten
+    np.testing.assert_allclose(x_back, x, rtol=1e-9, atol=1e-12)
+    # A^T (L L^T) A = I per factor -> kron metric is exactly whitened
+    np.testing.assert_allclose(a_b.T @ (l_b @ l_b.T) @ a_b, np.eye(d1), atol=1e-9)
+    np.testing.assert_allclose(a_w.T @ (l_w @ l_w.T) @ a_w, np.eye(d1), atol=1e-9)
+
+
+def test_mhmc_process_mala_unpreconditioned(process_tmg, monkeypatch):
+    """precondition=False keeps the raw-coordinate MALA chain; its
+    distance distribution agrees with the whitened default at 1 qubit
+    (same posterior, two parameterizations)."""
+    monkeypatch.setattr(
+        qt.MHMCProcessInterval, "PROJECTED_TARGET_QUBITS", 1
+    )
+    kw = dict(
+        n_points=80, burn_steps=150, step=0.005,
+        use_new_estimate=True, adapt_step=True, proposal="mala", key=9,
+    )
+    d_raw, _ = qt.MHMCProcessInterval(
+        process_tmg, precondition=False, **kw
+    )(np.array([0.5, 0.9]))
+    d_pre, _ = qt.MHMCProcessInterval(process_tmg, **kw)(np.array([0.5, 0.9]))
+    d_raw, d_pre = np.asarray(d_raw), np.asarray(d_pre)
+    assert np.all(np.isfinite(d_raw)) and np.all(np.isfinite(d_pre))
+    assert abs(d_pre[1] - d_raw[1]) < 0.5 * max(float(d_raw[1]), 1e-3)

@@ -31,6 +31,33 @@ def test_qpt_coverage_depolarizing():
     assert np.all(cov >= conf_levels - 0.07)
 
 
+def test_qpt_problem_factored_prod_matches_dense():
+    """qpt_problem's factored polytope_prod (dim * B X[:, 1:] W[:, 1:]^T)
+    equals the explicit kron-row construction it replaced — the 4-qubit
+    enabler (the dense operator is ~170 GB there)."""
+    from quantpy_tpu.measurements import generate_measurement_matrix
+    from quantpy_tpu.tomography.polytopes.verification import qpt_problem
+    from quantpy_tpu.tomography.process import ProcessTomograph
+
+    channel = depolarizing(0.3, 2)
+    _, n_meas, _, prod, _, _ = qpt_problem(channel, 700, "sic")
+    tmg = ProcessTomograph(channel, input_states="sic")
+    dim = 4**channel.n_qubits
+    povm_matrix = generate_measurement_matrix("proj-set", channel.n_qubits)
+    m = povm_matrix.shape[0]
+    nm = np.full(m, 700.0)
+    meas_flat = (povm_matrix * nm[:, None, None] / nm.sum()).reshape(
+        -1, povm_matrix.shape[-1]
+    ) * m
+    states_matrix = tmg._input_blochs_t()
+    bloch_indices = [i for i in range(dim**2) if i % dim != 0]
+    a_matrix = (
+        np.einsum("ia,jb->ijab", states_matrix, meas_flat[:, 1:]) * dim
+    ).reshape(states_matrix.shape[0] * meas_flat.shape[0], -1)
+    dense_prod = a_matrix @ np.asarray(channel.choi.bloch)[bloch_indices]
+    np.testing.assert_allclose(prod, dense_prod, rtol=1e-12, atol=1e-14)
+
+
 def test_calibration_state_moment():
     levels = get_CL_list_state(
         qt.GHZ(1), interval="moment", n_measurements=800, n_iter=40
