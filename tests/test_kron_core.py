@@ -87,6 +87,23 @@ def test_kron_6qubit_lin_smoke():
     assert d < 0.3 and d < d_mixed / 2, (d, d_mixed)
 
 
+@pytest.mark.slow
+def test_kron_8qubit_smoke():
+    """8-qubit pipeline: groups (3, 3, 2), counts (6561, 256), 65,536-dim
+    bloch. Measured on the chip at ~50 ms/stage and 40 bootstrap rec/s
+    (docs/benchmarks.md); here just correctness at CPU scale."""
+    n = 8
+    state = qt.GHZ(n)
+    povm1 = _single_qubit_preset("proj-set")
+    counts = kron_core.kron_simulate(
+        jax.random.key(8), povm1, state.bloch, 10_000
+    )
+    assert counts.shape == (6561, 256)
+    est = kron_core.kron_estimate_mle_rhor(counts, povm1, n, max_iter=5)
+    d = float(qt.hs_dst(qt.Qobj(np.asarray(est, np.float64)), state))
+    assert d < 0.05, d
+
+
 def test_state_tomograph_kron_mode():
     """StateTomograph transparently switches to kron mode for big designs."""
     tmg = qt.StateTomograph(qt.GHZ(6), key=88)
