@@ -783,8 +783,14 @@ class BootstrapProcessInterval(ConfidenceInterval):
                     if not self.cptp:
                         return raw
                     # iteration chunk scaled so one device call stays well
-                    # under the ~60 s execution cap at any resample count
-                    it_chunk = int(np.clip(12800 // max(n_points, 1), 10, 100))
+                    # under the ~60 s execution cap: per-call work grows as
+                    # n_points * dim^3 (batched NS matmuls), so normalize
+                    # the 4-qubit-tuned budget (12800 iter-resamples at
+                    # dim 256) by the cubed dimension ratio
+                    dim_factor = (2.0 ** (2 * n_ch) / 256.0) ** 3
+                    it_chunk = int(np.clip(
+                        12800.0 / (max(n_points, 1) * dim_factor), 1, 100
+                    ))
                     return process_core.cptp_project_bloch_host(
                         raw,
                         max_iter=self.cptp_iter or 100,
