@@ -1063,6 +1063,7 @@ class MHMCProcessInterval(ConfidenceInterval):
         temper: bool = False,
         proposal: str = "rw",
         precondition: bool = True,
+        parametrization: str = "bloch",
     ):
         """`temper=False` (the default) samples exp(-NLL) with the
         raw-count NLL exactly like the reference (process.py:310-314) —
@@ -1080,7 +1081,19 @@ class MHMCProcessInterval(ConfidenceInterval):
         runs the MALA chain in Kronecker-Fisher-whitened coordinates
         (process_core.kron_fisher_whitener) — unpreconditioned MALA's
         stable step is set by the stiffest Hessian direction and the
-        chain barely moves (measured: R-hat 7.9)."""
+        chain barely moves (measured: R-hat 7.9).
+        `parametrization='kraus'` samples a SMOOTH exactly-CPTP
+        parametrization instead of projecting at all: the chain lives in
+        the real/imag entries of a factor M with
+        Choi = (L^{-1} (x) I) MM^H (L^{-H} (x) I), L = chol(Tr_out MM^H)
+        (process_core.kraus_param_to_choi_bloch) — both constraints hold
+        by construction, the target is C^inf so MALA works, and each step
+        is ~100x cheaper than a projected-target step (no 100-iteration
+        Dykstra). The sampled law is the pushforward of exp(-NLL) through
+        the parametrization (the reference's project-the-proposal scheme,
+        interval.py:839, is likewise not measure-exact — and freezes at 4
+        qubits, docs/benchmarks.md). Works at any qubit count and with
+        either proposal; `precondition` is a 'bloch'-mode option."""
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
             thinning=thinning, warm_start=warm_start, method=method,
@@ -1091,7 +1104,13 @@ class MHMCProcessInterval(ConfidenceInterval):
             adapt_step=adapt_step, n_chains=n_chains, jump_distr=jump_distr,
             mesh=mesh, jump_logpdf=jump_logpdf, temper=temper,
             proposal=proposal, precondition=precondition,
+            parametrization=parametrization,
         )
+        if parametrization not in ("bloch", "kraus"):
+            raise ValueError(
+                "parametrization must be 'bloch' (projected chains) or "
+                "'kraus' (smooth exactly-CPTP factor chains)"
+            )
 
     def setup(self):
         from ..mhmc import effective_sample_size, split_rhat
@@ -1113,13 +1132,67 @@ class MHMCProcessInterval(ConfidenceInterval):
         big = self.tmg.channel.n_qubits >= self.PROJECTED_TARGET_QUBITS
         if not (self.warm_start and hasattr(self, "chain")):
             self._to_x = None
+            self._decode_kraus = None
             x_init = np.asarray(self.channel.choi.bloch, dtype=np.float64)
             scale = (
                 1.0 / float(sum(np.sum(t.n_measurements) for t in self.tmg.tomographs))
                 if self.temper
                 else 1.0
             )
-            if big:
+            if self.parametrization == "kraus":
+                # smooth exactly-CPTP factor chain — no projection in the
+                # target or the decode (see the class docstring); the chain
+                # state is the flattened re/im pair of the factor M
+                import jax
+                import jax.numpy as jnp
+
+                from . import process_core, state_core
+                from ..config import rdtype
+                from ..mhmc import basic_update
+
+                d_choi = 4**self.tmg.channel.n_qubits
+                self._proj = None
+                self._decode_kraus = d_choi
+                y0 = process_core.np_kraus_param_from_choi_bloch(x_init)
+                t0 = self.tmg.tomographs[0]
+                b_dev = jnp.asarray(self.tmg._input_blochs_t(), rdtype())
+                w_dev = state_core.weighted_povm_flat(
+                    t0.povm_matrix, t0.n_measurements
+                )
+                flat_np = np.concatenate(
+                    [t.flat_results for t in self.tmg.tomographs]
+                )
+                # anchor the NLL at the point estimate (f64 host anchor):
+                # the raw-count NLL is O(1e8) at 4 qubits while chain
+                # log-ratios are O(1-1e3) — in f32 the unanchored target
+                # quantizes MH decisions to ~8-unit resolution
+                # (process_nll_factored_rel docstring)
+                p_ref = d_choi * (
+                    np.asarray(self.tmg._input_blochs_t(), np.float64)
+                    @ x_init.reshape(d_choi, d_choi)
+                    @ np.asarray(w_dev, np.float64).T
+                )
+                log_p_ref = jnp.asarray(
+                    np.log(np.clip(p_ref, 1e-12, None)).reshape(-1), rdtype()
+                )
+                flat_dev = jnp.asarray(flat_np, rdtype())
+                x_init = y0.reshape(-1)
+                dim = x_init.shape[0]
+
+                def _target_kraus(yf):
+                    cb = process_core.kraus_param_to_choi_bloch(
+                        yf.reshape(2, d_choi, d_choi)
+                    )
+                    return -scale * process_core.process_nll_factored_rel(
+                        cb, b_dev, w_dev, flat_dev, log_p_ref
+                    )
+
+                target = _target_kraus
+                drift_fn = (
+                    jax.grad(_target_kraus) if self.proposal == "mala" else None
+                )
+                update_rule = basic_update
+            elif big:
                 # projected-likelihood target: sample UNCONSTRAINED y
                 # against exp(-NLL(P(y))) with P the (NS) CPTP projection,
                 # and report P(y). The reference scheme (project the
@@ -1291,8 +1364,13 @@ class MHMCProcessInterval(ConfidenceInterval):
                 # each NS-projected proposal is ~20 ms on chip (MALA:
                 # ~3x, two gradient passes); a fused multi-thousand-step
                 # scan exceeds the axon ~60 s single-execution kill
-                # (measured) — host-chunk the chain
-                budget = 400 if self.proposal == "mala" else 1200
+                # (measured) — host-chunk the chain. Kraus-factor steps
+                # carry no Dykstra (3 matmuls + the factored NLL, ~1-2 ms
+                # at 4 qubits), so their per-call budget is ~10x larger.
+                if self.parametrization == "kraus":
+                    budget = 4000 if self.proposal == "mala" else 12000
+                else:
+                    budget = 400 if self.proposal == "mala" else 1200
                 self.chain.max_steps_per_call = max(
                     50, budget // max(self.n_chains, 1)
                 )
@@ -1304,7 +1382,7 @@ class MHMCProcessInterval(ConfidenceInterval):
                 # the 57% Roberts-Rosenthal optimum)
                 if self.proposal == "mala":
                     bounds = (0.4, 0.7)
-                elif big:
+                elif big or self.parametrization == "kraus":
                     bounds = (0.15, 0.4)
                 else:
                     bounds = (0.05, 0.5)
@@ -1315,6 +1393,12 @@ class MHMCProcessInterval(ConfidenceInterval):
             if self.jump_logpdf is not None:
                 raise NotImplementedError(
                     "mesh-sharded chains support symmetric proposals only"
+                )
+            if self.parametrization == "kraus":
+                raise NotImplementedError(
+                    "mesh-sharded chains implement the bloch-space "
+                    "proposal scheme; kraus-factor chains parallelize "
+                    "with n_chains alone (vmap)"
                 )
             if self.proposal == "mala":
                 raise NotImplementedError(
@@ -1362,6 +1446,27 @@ class MHMCProcessInterval(ConfidenceInterval):
                 self.n_points, self.thinning, verbose=self.verbose
             )
             chain_shape = (1, samples.shape[0])
+        if getattr(self, "_decode_kraus", None):
+            # kraus-factor samples decode to exactly-CPTP Choi blochs
+            # (batched device map, host-chunked)
+            from . import process_core
+
+            d_choi = self._decode_kraus
+            ys = np.asarray(samples, dtype=np.float64).reshape(
+                -1, 2, d_choi, d_choi
+            )
+            chunk = max(1, (1 << 24) // (d_choi * d_choi))
+            samples = np.concatenate(
+                [
+                    np.asarray(
+                        process_core.kraus_param_to_choi_bloch(
+                            ys[lo : lo + chunk]
+                        ),
+                        dtype=np.float64,
+                    )
+                    for lo in range(0, ys.shape[0], chunk)
+                ]
+            )
         if getattr(self, "_to_x", None) is not None:
             # preconditioned-MALA samples live in the whitened z space;
             # map back to Choi bloch before the reported projection

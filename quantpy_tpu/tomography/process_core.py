@@ -47,6 +47,8 @@ __all__ = [
     "tp_project_bloch",
     "cp_project_bloch",
     "cptp_project_bloch",
+    "kraus_param_to_choi_bloch",
+    "np_kraus_param_from_choi_bloch",
     "estimate_lifp",
     "estimate_pgdb",
     "estimate_pgdb_factored",
@@ -469,6 +471,74 @@ def cptp_project_bloch_diff(choi_bloch, n_steps: int = 100, ns_iter: int = 19):
     return matrix_to_bloch(xm)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def kraus_param_to_choi_bloch(y):
+    """Smooth, surjective, EXACTLY-TP parametrization of CPTP Choi matrices
+    — the projection-free route for MCMC over processes.
+
+    ``y``: real (..., 2, D, D) re/im pair of a complex factor M with
+    D = 4^n the Choi dimension. The map is
+
+        G = M M^H                       (CP automatic)
+        rho = Tr_out(G)                 (2^n x 2^n, input factor first)
+        X = (L^{-1} (x) I_out) G (L^{-H} (x) I_out),   rho = L L^H
+
+    so Tr_out(X) = L^{-1} rho L^{-H} = I exactly — both CPTP constraints
+    hold by construction, no Dykstra projection anywhere. Surjective onto
+    CPTP: M = X^{1/2} gives rho = I and X back. Smooth wherever rho is PD
+    (a relative 1e-9 ridge keeps the Cholesky defined for arbitrary y;
+    rho ~ O(1) along any chain started from a density-operator-normalized
+    Choi, so the TP violation from the ridge is O(1e-9)).
+
+    Why it exists: the reference's project-the-proposal MHMC scheme
+    (quantpy/tomography/interval.py:839 + process.py:280-282) freezes at 4
+    qubits, and the round-3 projected-likelihood target mixes slowly
+    because the CPTP projection's spectral-clip kink defeats gradient
+    proposals (measured, docs/benchmarks.md). This map is C^inf in y, so
+    MALA works, and one evaluation is ~3 D x D matmuls + one 2^n Cholesky
+    — ~100x cheaper than a 100-step NS Dykstra projection. The sampled law
+    is the pushforward of exp(-NLL) through the parametrization (same
+    epistemic status as the projection pushforward; cross-validated
+    against the parametric bootstrap, docs/benchmarks.md).
+
+    Returns real Choi bloch vectors (..., D^2). Batched over leading axes;
+    reverse-differentiable (Cholesky + triangular solve have JAX JVPs).
+    """
+    y = jnp.asarray(y, dtype=rdtype())
+    d = y.shape[-1]  # Choi matrix dimension 4^n
+    d_in = int(round(math.sqrt(d)))  # 2^n
+    m = jax.lax.complex(y[..., 0, :, :], y[..., 1, :, :])
+    g = m @ jnp.swapaxes(m.conj(), -1, -2)
+    g4 = g.reshape(g.shape[:-2] + (d_in, d_in, d_in, d_in))
+    rho = jnp.einsum("...ibjb->...ij", g4)
+    tr = jnp.trace(rho, axis1=-2, axis2=-1).real
+    eye = jnp.eye(d_in, dtype=rho.dtype)
+    lam = (1e-9 * tr / d_in + 1e-30).astype(rho.dtype)
+    l_chol = jnp.linalg.cholesky(rho + lam[..., None, None] * eye)
+    m_rows = m.reshape(m.shape[:-2] + (d_in, d_in * d))
+    n_rows = jax.scipy.linalg.solve_triangular(l_chol, m_rows, lower=True)
+    n_mat = n_rows.reshape(m.shape)
+    x = n_mat @ jnp.swapaxes(n_mat.conj(), -1, -2)
+    return matrix_to_bloch(x)
+
+
+def np_kraus_param_from_choi_bloch(choi_bloch):
+    """Host-side inverse-at-CPTP of :func:`kraus_param_to_choi_bloch`:
+    the Hermitian square root M = X^{1/2} (eigenvalues clipped at 0), as a
+    real (2, D, D) re/im pair. For a CPTP X, rho = Tr_out(X) = I there, so
+    the parametrization maps this start point back to X (round-trip
+    tested); used to initialize MHMC chains at the point estimate."""
+    from ..ops.paulis import np_bloch_to_matrix
+
+    choi_bloch = np.asarray(choi_bloch, dtype=np.float64)
+    n2 = 2 * _n_from_d2(choi_bloch.shape[-1])
+    x = np_bloch_to_matrix(choi_bloch, n2)
+    w, v = np.linalg.eigh(x)
+    w = np.sqrt(np.clip(w, 0.0, None))
+    m = (v * w[..., None, :]) @ np.swapaxes(v.conj(), -1, -2)
+    return np.stack([m.real, m.imag], axis=-3)
+
+
 def cptp_project_bloch_host(
     choi_bloch,
     max_iter: int = 2000,
@@ -531,6 +601,31 @@ def process_nll(choi_bloch, a_matrix, unnorm_counts):
     (reference process.py:310-314)."""
     probs = process_probabilities(a_matrix, choi_bloch)
     return -jnp.sum(unnorm_counts * jnp.log(probs + _CP_EPS), axis=-1)
+
+
+def process_nll_factored_rel(
+    choi_bloch, input_blochs_t, w_flat, unnorm_counts, log_p_ref
+):
+    """Process NLL RELATIVE to reference log-probabilities:
+    -sum_k n_k (log p_k - log p_ref,k).
+
+    Identical to :func:`process_nll_factored` minus a constant, so every
+    MH acceptance ratio is unchanged in exact arithmetic — but in f32 the
+    raw-count NLL at 4 qubits is O(1e8) (resolution ~8 units at that
+    magnitude) while chain log-ratios are O(1-1e3): anchoring each term at
+    the point estimate's probabilities keeps the summands O(n_k * small)
+    and the MH decisions exact to working precision. `log_p_ref`:
+    (S*K,) log probabilities of the anchor estimate."""
+    choi_bloch = jnp.asarray(choi_bloch, dtype=rdtype())
+    b = jnp.asarray(input_blochs_t, dtype=rdtype())
+    w = jnp.asarray(w_flat, dtype=rdtype())
+    d1 = b.shape[-1]
+    xm = choi_bloch.reshape(choi_bloch.shape[:-1] + (d1, d1))
+    probs = d1 * jnp.einsum("sa,...ab,kb->...sk", b, xm, w)
+    probs = probs.reshape(choi_bloch.shape[:-1] + (-1,))
+    return -jnp.sum(
+        unnorm_counts * (jnp.log(probs + _CP_EPS) - log_p_ref), axis=-1
+    )
 
 
 def process_nll_factored(choi_bloch, input_blochs_t, w_flat, unnorm_counts):

@@ -461,3 +461,62 @@ def test_tp_project_mat_matches_bloch():
     mats = np_bloch_to_matrix(bloch, 4)
     out = np.asarray(process_core._tp_project_mat(mats))
     np.testing.assert_allclose(np_matrix_to_bloch(out), ref, atol=1e-10)
+
+
+def test_kraus_param_exactly_cptp():
+    """The smooth factor parametrization lands EXACTLY on CPTP for
+    arbitrary inputs: TP coordinates fixed, Choi PSD (no projection)."""
+    from quantpy_tpu.ops.paulis import np_bloch_to_matrix
+
+    rng = np.random.default_rng(7)
+    y = rng.normal(size=(4, 2, 16, 16))
+    cb = np.asarray(process_core.kraus_param_to_choi_bloch(y))
+    c = cb.reshape(4, 16, 16)
+    np.testing.assert_allclose(c[:, 0, 0], 1 / 4, atol=1e-8)
+    np.testing.assert_allclose(c[:, 1:, 0], 0.0, atol=1e-8)
+    mats = np_bloch_to_matrix(cb, 4)
+    assert np.linalg.eigvalsh(mats).min() >= -1e-10
+
+
+def test_kraus_param_roundtrip():
+    """Surjectivity at CPTP points: X -> M = X^(1/2) -> X round-trips
+    (rho = Tr_out X = I there, so the Cholesky congruence is identity)."""
+    rng = np.random.default_rng(8)
+    raw = rng.normal(size=(256,)) * 0.02
+    cb0 = np.asarray(process_core.cptp_project_bloch(raw, 2000))
+    y0 = process_core.np_kraus_param_from_choi_bloch(cb0)
+    cb1 = np.asarray(process_core.kraus_param_to_choi_bloch(y0))
+    np.testing.assert_allclose(cb1, cb0, atol=1e-6)
+
+
+@pytest.mark.parametrize("proposal", ["rw", "mala"])
+def test_mhmc_process_kraus_parametrization(proposal):
+    """The kraus-factor chain (smooth exactly-CPTP parametrization) runs
+    with both proposals, decodes to CPTP Choi samples, and its distance
+    scale agrees with the parametric bootstrap's."""
+    import jax
+
+    from quantpy_tpu.ops.paulis import np_bloch_to_matrix
+
+    tmg = ProcessTomograph(depolarizing(0.2, 1), key=3)
+    tmg.experiment(1000, "proj-set")
+    tmg.point_estimate("lifp")
+    iv = qt.MHMCProcessInterval(
+        tmg, n_points=300, burn_steps=400, step=0.05,
+        parametrization="kraus", proposal=proposal, adapt_step=True,
+        n_chains=2, key=11, return_samples=True,
+    )
+    d, cl, acc, mats = iv.setup()
+    d = np.asarray(d)
+    assert np.all(np.isfinite(d)) and np.all(d >= 0)
+    assert 0.0 < acc <= 1.0
+    # decoded samples are CPTP without any projection
+    m0 = np.asarray(mats[0])
+    tr_out = np.einsum("ibjb->ij", m0.reshape(2, 2, 2, 2))
+    np.testing.assert_allclose(tr_out, np.eye(2), atol=1e-6)
+    assert np.linalg.eigvalsh(m0).min() >= -1e-8
+    db, _ = qt.BootstrapProcessInterval(
+        tmg, n_points=300, key=jax.random.key(5)
+    )(np.array([0.5]))
+    d50 = np.median(d)
+    assert 0.3 * db[0] < d50 < 3.0 * db[0], (d50, db[0])
