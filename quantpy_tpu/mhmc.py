@@ -119,9 +119,15 @@ def _run_chain(
             x_prime = mu_x + step * xi
             logp_prime = logpdf(x_prime)
             drift_prime = drift_fn(x_prime)
-            mu_xp = x_prime + half * drift_prime
+            # reverse-proposal residual in the RESIDUAL form:
+            #   (x - mu_xp)/step = -(xi + (step/2)(drift_x + drift')),
+            # never differencing x and x' — the naive (x - mu_xp)/step is
+            # pure f32 rounding noise once step < eps * |x| (measured at 4
+            # qubits: a 2e-9 step turned lq_bwd into ~-4e5 of noise and
+            # froze the chain at acceptance 0.000)
+            bwd_res = xi + (0.5 * step) * (drift_x + drift_prime)
             lq_fwd = -0.5 * jnp.sum(xi**2)
-            lq_bwd = -0.5 * jnp.sum((x - mu_xp) ** 2) / (step * step)
+            lq_bwd = -0.5 * jnp.sum(bwd_res**2)
             log_ratio = logp_prime - logp_x + lq_bwd - lq_fwd
             accept = jnp.log(jax.random.uniform(k2, dtype=x.dtype)) <= log_ratio
             x_new = jnp.where(accept, x_prime, x)
