@@ -1064,6 +1064,7 @@ class MHMCProcessInterval(ConfidenceInterval):
         proposal: str = "rw",
         precondition: bool = True,
         parametrization: str = "bloch",
+        mode_seek: int | None = None,
     ):
         """`temper=False` (the default) samples exp(-NLL) with the
         raw-count NLL exactly like the reference (process.py:310-314) —
@@ -1093,7 +1094,16 @@ class MHMCProcessInterval(ConfidenceInterval):
         the parametrization (the reference's project-the-proposal scheme,
         interval.py:839, is likewise not measure-exact — and freezes at 4
         qubits, docs/benchmarks.md). Works at any qubit count and with
-        either proposal; `precondition` is a 'bloch'-mode option."""
+        either proposal. With `precondition=True` the kraus chain runs in
+        M-space design-whitened coordinates
+        (process_core.kraus_design_whitener: measured-operator Gram on the
+        left index, floored Choi estimate on the right) — without it the
+        stable step is set by the stiffest raw-count curvature direction.
+        `mode_seek` (kraus mode; default 500 there, 0 otherwise) first
+        ascends the smooth target with that many Adam steps
+        (mhmc.maximize_logpdf): the projected linear inversion is NOT the
+        smooth target's mode (measured 4q gap: ~1.2e5 NLL), and a chain
+        adapted in that transient freezes at a transient-sized step."""
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
             thinning=thinning, warm_start=warm_start, method=method,
@@ -1104,7 +1114,7 @@ class MHMCProcessInterval(ConfidenceInterval):
             adapt_step=adapt_step, n_chains=n_chains, jump_distr=jump_distr,
             mesh=mesh, jump_logpdf=jump_logpdf, temper=temper,
             proposal=proposal, precondition=precondition,
-            parametrization=parametrization,
+            parametrization=parametrization, mode_seek=mode_seek,
         )
         if parametrization not in ("bloch", "kraus"):
             raise ValueError(
@@ -1134,6 +1144,11 @@ class MHMCProcessInterval(ConfidenceInterval):
             self._to_x = None
             self._decode_kraus = None
             x_init = np.asarray(self.channel.choi.bloch, dtype=np.float64)
+            # (a numeric-temper sqrt(T) rescale was built and MEASURED
+            # invalid here: the CPTP boundary truncates the T-widened
+            # posterior, so radii grow slower than sqrt(T) — 2q T-scan in
+            # docs/benchmarks.md. Only the reference-style bool temper
+            # ships.)
             scale = (
                 1.0 / float(sum(np.sum(t.n_measurements) for t in self.tmg.tomographs))
                 if self.temper
@@ -1162,32 +1177,88 @@ class MHMCProcessInterval(ConfidenceInterval):
                 flat_np = np.concatenate(
                     [t.flat_results for t in self.tmg.tomographs]
                 )
-                # anchor the NLL at the point estimate (f64 host anchor):
-                # the raw-count NLL is O(1e8) at 4 qubits while chain
-                # log-ratios are O(1-1e3) — in f32 the unanchored target
-                # quantizes MH decisions to ~8-unit resolution
-                # (process_nll_factored_rel docstring)
-                p_ref = d_choi * (
-                    np.asarray(self.tmg._input_blochs_t(), np.float64)
-                    @ x_init.reshape(d_choi, d_choi)
-                    @ np.asarray(w_dev, np.float64).T
-                )
-                log_p_ref = jnp.asarray(
-                    np.log(np.clip(p_ref, 1e-12, None)).reshape(-1), rdtype()
-                )
+                # anchor the NLL at the point estimate in DELTA form
+                # (process_nll_factored_rel docstring: two f32 failure
+                # modes measured at 4 qubits); p_ref is computed with the
+                # SAME dtype/forward as the chain's delta form
+                x_ref_dev = jnp.asarray(x_init, rdtype())
+                p_ref = d_choi * jnp.einsum(
+                    "sa,ab,kb->sk",
+                    b_dev,
+                    x_ref_dev.reshape(d_choi, d_choi),
+                    w_dev,
+                ).reshape(-1)
                 flat_dev = jnp.asarray(flat_np, rdtype())
+                self._kraus_whiten = None
+                if self.precondition:
+                    # M-space design-curvature whitening (see
+                    # process_core.kraus_design_whitener): the raw-count
+                    # NLL's stiffest M directions otherwise set the stable
+                    # step for the WHOLE 2*16^n-dim chain
+                    from ..ops.cplx import to_pair
+
+                    a_l, a_r, a_l_inv, a_r_inv = (
+                        process_core.kraus_design_whitener(
+                            self.tmg._input_blochs_t(),
+                            np.asarray(w_dev),
+                            flat_np,
+                            x_init,
+                        )
+                    )
+                    m0 = y0[0] + 1j * y0[1]
+                    z0 = a_l_inv @ m0 @ a_r_inv
+                    # normalize the whitened coordinates to unit rms: the
+                    # Gram factors carry the raw count scale, leaving z0 at
+                    # ~O(1e2-1e7) magnitude where f32 cannot represent
+                    # posterior-sized moves (measured: proposals rounded to
+                    # no-ops and 'acceptance' was accept-coin-flips on
+                    # x' == x)
+                    s_norm = float(np.sqrt(np.mean(np.abs(z0) ** 2)))
+                    if s_norm > 0:
+                        a_l = a_l * s_norm
+                        z0 = z0 / s_norm
+                    y0 = np.stack([z0.real, z0.imag], axis=0)
+                    al_pair = to_pair(a_l)
+                    ar_pair = to_pair(a_r)
+                    self._kraus_whiten = (al_pair, ar_pair)
+
+                    def _decode_z(zf):
+                        return process_core.kraus_param_to_choi_bloch_whitened(
+                            zf.reshape(2, d_choi, d_choi), al_pair, ar_pair
+                        )
+
+                else:
+
+                    def _decode_z(zf):
+                        return process_core.kraus_param_to_choi_bloch(
+                            zf.reshape(2, d_choi, d_choi)
+                        )
+
+                self._kraus_decode = _decode_z
                 x_init = y0.reshape(-1)
                 dim = x_init.shape[0]
 
                 def _target_kraus(yf):
-                    cb = process_core.kraus_param_to_choi_bloch(
-                        yf.reshape(2, d_choi, d_choi)
-                    )
                     return -scale * process_core.process_nll_factored_rel(
-                        cb, b_dev, w_dev, flat_dev, log_p_ref
+                        _decode_z(yf), b_dev, w_dev, flat_dev,
+                        x_ref_dev, p_ref,
                     )
 
                 target = _target_kraus
+                seek = 500 if self.mode_seek is None else int(self.mode_seek)
+                if seek > 0:
+                    # ascend to the smooth target's mode before sampling —
+                    # the projected linear inversion is a transient start
+                    # (see the class docstring)
+                    from ..mhmc import maximize_logpdf
+
+                    rms0 = float(np.sqrt(np.mean(x_init**2))) or 1.0
+                    x_init = np.asarray(
+                        maximize_logpdf(
+                            target, x_init, n_steps=seek, lr=3e-3 * rms0
+                        ),
+                        dtype=np.float64,
+                    )
                 drift_fn = (
                     jax.grad(_target_kraus) if self.proposal == "mala" else None
                 )
@@ -1347,6 +1418,17 @@ class MHMCProcessInterval(ConfidenceInterval):
                 drift_fn = None
                 target = lambda y: -scale * self.tmg._nll(y)  # noqa: E731
                 update_rule = self.tmg._cptp_update_rule
+            # kraus-mode f32 targets carry O(1) evaluation noise
+            # (count-amplified rounding); stored-logp chains stick on
+            # +noise flukes there — refresh the current-state logp every
+            # step (see mhmc._run_chain). Exact (x64) targets keep the
+            # cheaper stored-logp chain.
+            from ..config import rdtype as _rdtype
+
+            refresh = (
+                self.parametrization == "kraus"
+                and np.dtype(_rdtype()) == np.dtype(np.float32)
+            )
             self.chain = MHMC(
                 target,
                 jump_distr=self.jump_distr,
@@ -1359,6 +1441,7 @@ class MHMCProcessInterval(ConfidenceInterval):
                 x_init=x_init,
                 key=self.key,
                 drift_fn=drift_fn,
+                refresh_logp=refresh,
             )
             if self.tmg.channel.n_qubits >= 4:
                 # each NS-projected proposal is ~20 ms on chip (MALA:
@@ -1452,16 +1535,25 @@ class MHMCProcessInterval(ConfidenceInterval):
             from . import process_core
 
             d_choi = self._decode_kraus
+            whiten = getattr(self, "_kraus_whiten", None)
             ys = np.asarray(samples, dtype=np.float64).reshape(
                 -1, 2, d_choi, d_choi
             )
             chunk = max(1, (1 << 24) // (d_choi * d_choi))
+            if whiten is not None:
+                al_pair, ar_pair = whiten
+
+                def _decode_batch(zz):
+                    return process_core.kraus_param_to_choi_bloch_whitened(
+                        zz, al_pair, ar_pair
+                    )
+
+            else:
+                _decode_batch = process_core.kraus_param_to_choi_bloch
             samples = np.concatenate(
                 [
                     np.asarray(
-                        process_core.kraus_param_to_choi_bloch(
-                            ys[lo : lo + chunk]
-                        ),
+                        _decode_batch(ys[lo : lo + chunk]),
                         dtype=np.float64,
                     )
                     for lo in range(0, ys.shape[0], chunk)

@@ -48,6 +48,8 @@ __all__ = [
     "cp_project_bloch",
     "cptp_project_bloch",
     "kraus_param_to_choi_bloch",
+    "kraus_param_to_choi_bloch_whitened",
+    "kraus_design_whitener",
     "np_kraus_param_from_choi_bloch",
     "estimate_lifp",
     "estimate_pgdb",
@@ -505,9 +507,14 @@ def kraus_param_to_choi_bloch(y):
     reverse-differentiable (Cholesky + triangular solve have JAX JVPs).
     """
     y = jnp.asarray(y, dtype=rdtype())
-    d = y.shape[-1]  # Choi matrix dimension 4^n
-    d_in = int(round(math.sqrt(d)))  # 2^n
     m = jax.lax.complex(y[..., 0, :, :], y[..., 1, :, :])
+    return _kraus_m_to_choi_bloch(m)
+
+
+def _kraus_m_to_choi_bloch(m):
+    """Complex-matrix core of :func:`kraus_param_to_choi_bloch` (in-jit)."""
+    d = m.shape[-1]  # Choi matrix dimension 4^n
+    d_in = int(round(math.sqrt(d)))  # 2^n
     g = m @ jnp.swapaxes(m.conj(), -1, -2)
     g4 = g.reshape(g.shape[:-2] + (d_in, d_in, d_in, d_in))
     rho = jnp.einsum("...ibjb->...ij", g4)
@@ -520,6 +527,89 @@ def kraus_param_to_choi_bloch(y):
     n_mat = n_rows.reshape(m.shape)
     x = n_mat @ jnp.swapaxes(n_mat.conj(), -1, -2)
     return matrix_to_bloch(x)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def kraus_param_to_choi_bloch_whitened(z, a_l_pair, a_r_pair):
+    """Whitened-coordinate kraus decode: M = A_L Z A_R, then the kraus map.
+
+    `z`: real (..., 2, D, D) re/im chain state; `a_l_pair`/`a_r_pair`: the
+    whitening matrices of :func:`kraus_design_whitener` as real (D, D, 2)
+    pairs (axon contract: complex never crosses the jit boundary)."""
+    from ..ops.cplx import pair_to_complex
+
+    z = jnp.asarray(z, dtype=rdtype())
+    m0 = jax.lax.complex(z[..., 0, :, :], z[..., 1, :, :])
+    a_l = pair_to_complex(jnp.asarray(a_l_pair, dtype=rdtype()))
+    a_r = pair_to_complex(jnp.asarray(a_r_pair, dtype=rdtype()))
+    return _kraus_m_to_choi_bloch(a_l @ m0 @ a_r)
+
+
+def kraus_design_whitener(
+    input_blochs_t,
+    w_flat,
+    flat_counts,
+    choi_bloch_hat,
+    ridge: float = 1e-6,
+    x_floor: float = 1e-2,
+):
+    """M-space curvature whitener for kraus-parametrized process chains.
+
+    The NLL's Gauss-Newton form in the factor M (Choi X ~ M M^H, rows
+    p_k = Tr(A_k X) with A_k = rho_s^T (x) E_o) is
+    F_M = sum_k c_k vec(A_k M0) vec(A_k M0)^H with c_k = n_k / p_k^2.
+    Two structured averages bound its anisotropy:
+
+    - LEFT index: sum_k c_k A_k X A_k ~ G_B (x) G_W with
+      G_B = sum_s u_s (rho_s^T)^2, G_W = sum_o v_o E_o^2 (the same rank-1
+      weight fit c ~ u v as kron_fisher_whitener) — the measured-operator
+      Gram of the design;
+    - RIGHT index: M0^H (...) M0 ~ X_hat — weakly-populated Kraus
+      directions (small Choi eigenvalues) carry little curvature; the
+      floor `x_floor * tr(X)/D` bounds their step amplification.
+
+    Sampling Z with M = A_L Z A_R, A_L = (G_B (x) G_W)^{-1/2},
+    A_R = (X_hat + eps I)^{-1/2} runs the chain in approximately-isotropic
+    curvature coordinates (proposal covariance ~ F_M^{-1} in the averaged
+    metric). Host f64; returns complex (a_l, a_r, a_l_inv, a_r_inv) with
+    z0 = a_l_inv M0 a_r_inv. No reference counterpart (the reference's
+    sampler is an isotropic random walk, interval.py:762-850)."""
+    from ..ops.paulis import np_bloch_to_matrix
+
+    b = np.asarray(input_blochs_t, dtype=np.float64)
+    w = np.asarray(w_flat, dtype=np.float64)
+    d1 = b.shape[-1]  # Choi matrix dim = 4^n
+    n = int(round(math.log(d1, 4)))
+    c = np.asarray(flat_counts, dtype=np.float64).reshape(b.shape[0], -1)
+    x_hat = np.asarray(choi_bloch_hat, dtype=np.float64).reshape(d1, d1)
+    p_hat = d1 * (b @ x_hat @ w.T)
+    floor = 0.5 / max(float(c.sum(axis=-1).max()), 1.0)
+    p_hat = np.maximum(p_hat, floor)
+    r = c / (p_hat * p_hat)
+    total = float(r.sum())
+    u = r.sum(axis=1)
+    v = r.sum(axis=0) / max(total, 1e-30)
+    rho_mats = np_bloch_to_matrix(b, n)  # (S, 2^n, 2^n), Hermitian
+    e_mats = np_bloch_to_matrix(w, n)  # (K, 2^n, 2^n), Hermitian
+    g_b = np.einsum("s,sij,sjk->ik", u, rho_mats, rho_mats)
+    g_w = np.einsum("o,oij,ojk->ik", v, e_mats, e_mats)
+
+    def _sqrt_pair(g, lam):
+        evals, evecs = np.linalg.eigh(g)
+        evals = np.clip(evals, 0.0, None) + lam
+        inv_s = (evecs / np.sqrt(evals)) @ evecs.conj().T
+        s = (evecs * np.sqrt(evals)) @ evecs.conj().T
+        return inv_s, s
+
+    inv_b, sq_b = _sqrt_pair(g_b, ridge * np.trace(g_b).real / g_b.shape[0])
+    inv_w, sq_w = _sqrt_pair(g_w, ridge * np.trace(g_w).real / g_w.shape[0])
+    x_mat = np_bloch_to_matrix(choi_bloch_hat, 2 * n)
+    a_r, a_r_inv = _sqrt_pair(
+        x_mat, x_floor * np.trace(x_mat).real / d1
+    )
+    a_l = np.kron(inv_b, inv_w)
+    a_l_inv = np.kron(sq_b, sq_w)
+    return a_l, a_r, a_l_inv, a_r_inv
 
 
 def np_kraus_param_from_choi_bloch(choi_bloch):
@@ -604,28 +694,38 @@ def process_nll(choi_bloch, a_matrix, unnorm_counts):
 
 
 def process_nll_factored_rel(
-    choi_bloch, input_blochs_t, w_flat, unnorm_counts, log_p_ref
+    choi_bloch, input_blochs_t, w_flat, unnorm_counts, x_ref_bloch, p_ref
 ):
-    """Process NLL RELATIVE to reference log-probabilities:
-    -sum_k n_k (log p_k - log p_ref,k).
+    """Process NLL RELATIVE to an anchor estimate, in DELTA form:
+    -sum_k n_k log1p(dp_k / p_ref,k) with dp = D * b (X - X_ref) w.
 
     Identical to :func:`process_nll_factored` minus a constant, so every
-    MH acceptance ratio is unchanged in exact arithmetic — but in f32 the
-    raw-count NLL at 4 qubits is O(1e8) (resolution ~8 units at that
-    magnitude) while chain log-ratios are O(1-1e3): anchoring each term at
-    the point estimate's probabilities keeps the summands O(n_k * small)
-    and the MH decisions exact to working precision. `log_p_ref`:
-    (S*K,) log probabilities of the anchor estimate."""
+    MH acceptance ratio is unchanged in exact arithmetic. The two-stage
+    anchoring exists for f32 MCMC targets:
+
+    1. the raw-count NLL at 4 qubits is O(1e8) (f32 resolution ~8 units at
+       that magnitude) while chain log-ratios are O(1-1e3);
+    2. even the anchored difference log p - log p_ref computed from two
+       separate bilinear forms inherits the cancellation noise of the
+       p = D b X w einsum (65k near-cancelling products per entry —
+       measured +-6 target noise at 4 qubits, which makes stored-logp MH
+       chains stick on noise flukes and collapses step adaptation).
+       Evaluating the DELTA bilinear form dp = D b (X - X_ref) w instead
+       gives each summand relative-eps accuracy (measured noise ~1e-2).
+
+    `x_ref_bloch`: (D^2,) anchor Choi bloch; `p_ref`: (S*K,) its
+    probabilities under the same design, p_ref = D * b X_ref w (compute
+    once with the SAME dtype/forward so p = p_ref + dp holds exactly)."""
     choi_bloch = jnp.asarray(choi_bloch, dtype=rdtype())
     b = jnp.asarray(input_blochs_t, dtype=rdtype())
     w = jnp.asarray(w_flat, dtype=rdtype())
     d1 = b.shape[-1]
-    xm = choi_bloch.reshape(choi_bloch.shape[:-1] + (d1, d1))
-    probs = d1 * jnp.einsum("sa,...ab,kb->...sk", b, xm, w)
-    probs = probs.reshape(choi_bloch.shape[:-1] + (-1,))
-    return -jnp.sum(
-        unnorm_counts * (jnp.log(probs + _CP_EPS) - log_p_ref), axis=-1
-    )
+    delta = choi_bloch - x_ref_bloch
+    dm = delta.reshape(delta.shape[:-1] + (d1, d1))
+    dp = d1 * jnp.einsum("sa,...ab,kb->...sk", b, dm, w)
+    dp = dp.reshape(choi_bloch.shape[:-1] + (-1,))
+    ratio = jnp.maximum(dp / jnp.maximum(p_ref, _CP_EPS), -1.0 + 1e-7)
+    return -jnp.sum(unnorm_counts * jnp.log1p(ratio), axis=-1)
 
 
 def process_nll_factored(choi_bloch, input_blochs_t, w_flat, unnorm_counts):

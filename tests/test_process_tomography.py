@@ -520,3 +520,45 @@ def test_mhmc_process_kraus_parametrization(proposal):
     )(np.array([0.5]))
     d50 = np.median(d)
     assert 0.3 * db[0] < d50 < 3.0 * db[0], (d50, db[0])
+
+
+def test_kraus_whitened_decode_consistent():
+    """Whitened-coordinate decode equals the plain kraus map of
+    M = A_L Z A_R (the whitener is a reparametrization, not a new model),
+    and the whitened start point z0 = A_L^-1 M0 A_R^-1 round-trips."""
+    from quantpy_tpu.ops.cplx import to_pair
+
+    rng = np.random.default_rng(9)
+    raw = rng.normal(size=(16,)) * 0.05
+    cb0 = np.asarray(process_core.cptp_project_bloch(raw, 2000))
+    tmg = ProcessTomograph(depolarizing(0.3, 1), key=5)
+    tmg.experiment(500, "proj-set")
+    from quantpy_tpu.tomography import state_core
+
+    t0 = tmg.tomographs[0]
+    w = np.asarray(state_core.weighted_povm_flat(t0.povm_matrix, t0.n_measurements))
+    flat = np.concatenate([t.flat_results for t in tmg.tomographs])
+    a_l, a_r, a_l_inv, a_r_inv = process_core.kraus_design_whitener(
+        tmg._input_blochs_t(), w, flat, cb0
+    )
+    np.testing.assert_allclose(a_l @ a_l_inv, np.eye(4), atol=1e-8)
+    np.testing.assert_allclose(a_r @ a_r_inv, np.eye(4), atol=1e-8)
+    z = rng.normal(size=(2, 4, 4))
+    m = a_l @ (z[0] + 1j * z[1]) @ a_r
+    y = np.stack([m.real, m.imag])
+    direct = np.asarray(process_core.kraus_param_to_choi_bloch(y))
+    whitened = np.asarray(
+        process_core.kraus_param_to_choi_bloch_whitened(
+            z, to_pair(a_l), to_pair(a_r)
+        )
+    )
+    np.testing.assert_allclose(whitened, direct, atol=1e-8)
+    # start-point round trip through the whitened coordinates
+    y0 = process_core.np_kraus_param_from_choi_bloch(cb0)
+    z0 = a_l_inv @ (y0[0] + 1j * y0[1]) @ a_r_inv
+    cb1 = np.asarray(
+        process_core.kraus_param_to_choi_bloch_whitened(
+            np.stack([z0.real, z0.imag]), to_pair(a_l), to_pair(a_r)
+        )
+    )
+    np.testing.assert_allclose(cb1, cb0, atol=1e-6)
