@@ -55,7 +55,14 @@ def _multinomial_binary_split(key, n_trials, probs):
         # f32 rounding can push the ratio one ulp past 1 (measured on TPU:
         # ratio 1.0000001 -> binomial returns NaN); clamp to the valid range
         ratio = jnp.clip(ratio, 0.0, 1.0)
-        left = jax.random.binomial(sub, counts, ratio)
+        # call the binomial on FLATTENED operands: jax.random.binomial with
+        # a small (2-8) leading batch axis is ~100x slower on this TPU
+        # backend regardless of rank — measured (4, 5038848) at 5.1 s vs
+        # the same 20M draws flat at 0.055 s; this was the entire wall of
+        # the 9-qubit batched bootstrap (docs/benchmarks.md)
+        left = jax.random.binomial(
+            sub, counts.reshape(-1), ratio.reshape(-1)
+        ).reshape(counts.shape)
         counts = jnp.stack([left, counts - left], axis=-1).reshape(
             batch_shape + (-1,)
         )
