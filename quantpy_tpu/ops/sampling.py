@@ -55,14 +55,23 @@ def _multinomial_binary_split(key, n_trials, probs):
         # f32 rounding can push the ratio one ulp past 1 (measured on TPU:
         # ratio 1.0000001 -> binomial returns NaN); clamp to the valid range
         ratio = jnp.clip(ratio, 0.0, 1.0)
-        # call the binomial on FLATTENED operands: jax.random.binomial with
-        # a small (2-8) leading batch axis is ~100x slower on this TPU
-        # backend regardless of rank — measured (4, 5038848) at 5.1 s vs
-        # the same 20M draws flat at 0.055 s; this was the entire wall of
-        # the 9-qubit batched bootstrap (docs/benchmarks.md)
-        left = jax.random.binomial(
-            sub, counts.reshape(-1), ratio.reshape(-1)
-        ).reshape(counts.shape)
+        # jax.random.binomial sequentializes over a SMALL leading axis
+        # when the per-element trailing volume is large (measured on this
+        # backend: (8, 4194304) 9.0 s vs (256, 262144) — 8x the elements —
+        # 0.134 s, and the same 20M draws flat 0.055 s; this was the
+        # entire wall of the 9-qubit batched bootstrap). Leading >= 256 is
+        # natively fast and FLATTENING those shapes is ~2x slower (extra
+        # relayouts, measured on both the (16384, 81, 2^k) flagship and
+        # the (256, 729, 2^k) 6q bootstrap) — so flatten only the
+        # pathological small-leading x large-volume case. Element order is
+        # preserved, so the streams are bit-identical either way.
+        lead = counts.shape[0] if counts.ndim > 1 else counts.size
+        if lead < 128 and counts.size >= lead * (1 << 16):
+            left = jax.random.binomial(
+                sub, counts.reshape(-1), ratio.reshape(-1)
+            ).reshape(counts.shape)
+        else:
+            left = jax.random.binomial(sub, counts, ratio)
         counts = jnp.stack([left, counts - left], axis=-1).reshape(
             batch_shape + (-1,)
         )
