@@ -65,8 +65,12 @@ def _multinomial_binary_split(key, n_trials, probs):
         # the (256, 729, 2^k) 6q bootstrap) — so flatten only the
         # pathological small-leading x large-volume case. Element order is
         # preserved, so the streams are bit-identical either way.
+        # scope: rank <= 3 only — flattening a rank-4 (64, 1024, 243, 2^k)
+        # process-bootstrap batch forced a relayout copy whose (4,128)
+        # tiling pads the trailing 2-axis 64x (measured: a 32.6 GB
+        # allocation request at the 5-qubit process bootstrap)
         lead = counts.shape[0] if counts.ndim > 1 else counts.size
-        if lead < 128 and counts.size >= lead * (1 << 16):
+        if counts.ndim <= 3 and lead < 128 and counts.size >= lead * (1 << 16):
             left = jax.random.binomial(
                 sub, counts.reshape(-1), ratio.reshape(-1)
             ).reshape(counts.shape)

@@ -312,12 +312,6 @@ def kron_estimate_mle_rhor(
     return bloch
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_qubits", "n_points", "method", "dst", "max_iter", "physical", "init"
-    ),
-)
 def kron_bootstrap_distances(
     key,
     bloch_est,
@@ -330,11 +324,69 @@ def kron_bootstrap_distances(
     max_iter: int = 100,
     physical: bool = True,
     init: str = "lin",
+    chunk: int | None = None,
 ):
     """Parametric bootstrap on the kron-factored design: simulate + estimate
-    + distance for `n_points` resamples in one program (the factored twin of
-    bootstrap_core.bootstrap_distances). `physical` applies to the 'lin'
-    re-estimates; `init` ('lin'|'mixed') selects the MLE starting point."""
+    + distance for `n_points` resamples per device program (the factored
+    twin of bootstrap_core.bootstrap_distances). `physical` applies to the
+    'lin' re-estimates; `init` ('lin'|'mixed') selects the MLE start.
+
+    `chunk` host-chunks the resample batch (`None` = auto): at 9 qubits the
+    per-resample counts volume is ~10M entries and fused batches of 8+
+    hit a memory cliff — 25.7 s/call at 8, a device fault at a fused 16
+    (measured, docs/benchmarks.md); the auto rule caps the fused batch so
+    the per-call counts volume stays under ~2^25 entries, which keeps
+    every <= 8-qubit workload in one program (previous behavior) and runs
+    9 qubits at 4 resamples per call (measured 4.7 rec/s)."""
+    import numpy as _np
+
+    m1, p1, _ = jnp.asarray(povm1).shape
+    per_resample = (m1 * p1) ** n_qubits
+    if chunk is None:
+        chunk = max(1, min(n_points, (1 << 25) // per_resample))
+    if chunk >= n_points:
+        return _kron_bootstrap_fused(
+            key, bloch_est, povm1, n_qubits, n_shots, n_points,
+            method, dst, max_iter, physical, init,
+        )
+    keys = jax.random.split(key, -(-n_points // chunk))
+    parts = []
+    done = 0
+    for k in keys:
+        m = min(chunk, n_points - done)
+        parts.append(
+            _np.asarray(
+                _kron_bootstrap_fused(
+                    k, bloch_est, povm1, n_qubits, n_shots, m,
+                    method, dst, max_iter, physical, init,
+                )
+            )
+        )
+        done += m
+    return jnp.asarray(_np.concatenate(parts))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_qubits", "n_points", "method", "dst", "max_iter", "physical", "init"
+    ),
+)
+def _kron_bootstrap_fused(
+    key,
+    bloch_est,
+    povm1,
+    n_qubits: int,
+    n_shots,
+    n_points: int,
+    method: str = "lin",
+    dst: str = "hs",
+    max_iter: int = 100,
+    physical: bool = True,
+    init: str = "lin",
+):
+    """One fused simulate + estimate + distance program (jitted body of
+    :func:`kron_bootstrap_distances`)."""
     from .bootstrap_core import _distance_batch
 
     bloch_est = jnp.asarray(bloch_est, dtype=rdtype())
