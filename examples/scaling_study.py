@@ -2,10 +2,10 @@
 
 The reference's dense linear inversion hits ~45 s at 6 qubits
 (BASELINE.md); the kron-factored paths (tomography/kron_core.py) keep the
-whole pipeline at tens of milliseconds through 9 qubits because nothing
+whole pipeline at sub-second through 10 qubits because nothing
 larger than the outcome counts is ever materialized.
 
-Run:  python examples/scaling_study.py [--max-qubits 9]
+Run:  python examples/scaling_study.py [--max-qubits 10]
 """
 
 from __future__ import annotations
@@ -97,7 +97,7 @@ def main(max_qubits: int) -> None:
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
-    parser.add_argument("--max-qubits", type=int, default=9)
+    parser.add_argument("--max-qubits", type=int, default=10)
     args = parser.parse_args()
     print("devices:", jax.devices())
     main(args.max_qubits)
