@@ -142,3 +142,31 @@ def test_kron_bootstrap_interval():
     d = np.asarray(d)
     assert d.shape == (2,) and np.all(np.isfinite(d)) and d[0] <= d[1]
     assert d[1] < 0.5
+
+
+def test_kron_bootstrap_chunking_consistent():
+    """The host-chunked bootstrap wrapper returns the requested number of
+    finite distances and is deterministic in the key (the 9-qubit memory
+    cliff motivates the auto rule; here chunking is forced at small n)."""
+    import jax
+
+    from quantpy_tpu.measurements import _single_qubit_preset
+
+    povm1 = np.asarray(_single_qubit_preset("proj-set"))
+    est = np.zeros(16)
+    est[0] = 0.25
+    d1 = np.asarray(
+        kron_core.kron_bootstrap_distances(
+            jax.random.key(5), est, povm1, 2, 500.0, n_points=6,
+            method="lin", chunk=2,
+        )
+    )
+    d2 = np.asarray(
+        kron_core.kron_bootstrap_distances(
+            jax.random.key(5), est, povm1, 2, 500.0, n_points=6,
+            method="lin", chunk=2,
+        )
+    )
+    assert d1.shape == (6,)
+    assert np.isfinite(d1).all() and (d1 >= 0).all()
+    np.testing.assert_array_equal(d1, d2)
