@@ -95,20 +95,22 @@ def main():
             n_points=N_POINTS, method="mle-rhor", dst="hs", max_iter=MLE_ITERS,
         )
 
+    # sync by DEVICE->HOST TRANSFER, not block_until_ready: the axon
+    # tunnel's block_until_ready intermittently no-ops (measured: a 64 s
+    # compile+execution hid behind a 0.6 ms "block"); np.asarray forces a
+    # transfer, which is the only reliable barrier here
+    # (docs/tpu_constraints.md). The distances are 64 KB — negligible.
     t0 = time.time()
-    d = run(jax.random.key(0))
-    d.block_until_ready()
+    d = np.asarray(run(jax.random.key(0)))
     log(f"compile + first run: {time.time() - t0:.1f}s")
 
     # timed steady-state runs
     times = []
     for i in range(1, 4):
         t0 = time.time()
-        d = run(jax.random.key(i))
-        d.block_until_ready()
+        d = np.asarray(run(jax.random.key(i)))
         times.append(time.time() - t0)
     best = min(times)
-    d = np.asarray(d)
     log(f"steady-state times: {[f'{t:.3f}' for t in times]}")
     log(
         f"bootstrap distance stats: median={np.median(d):.4f} "
@@ -136,10 +138,9 @@ def main():
         b6 = jnp.asarray(qt.GHZ(6).bloch, jnp.float32)
         c6 = kron_core.kron_simulate(jax.random.key(6), povm1, b6, 10_000.0)
         r = kron_core.kron_estimate_lin(c6, povm1, 6)
-        r.block_until_ready()
+        np.asarray(r)
         t0 = time.time()
-        r = kron_core.kron_estimate_lin(c6, povm1, 6)
-        r.block_until_ready()
+        np.asarray(kron_core.kron_estimate_lin(c6, povm1, 6))
         log(f"secondary: 6-qubit linear inversion {1000 * (time.time() - t0):.1f} ms "
             "(reference ~45 s)")
 
@@ -149,11 +150,9 @@ def main():
                 n_points=256, method="mle", dst="hs", max_iter=60,
             )
 
-        d6 = run6(jax.random.key(60))
-        d6.block_until_ready()  # compile
+        np.asarray(run6(jax.random.key(60)))  # compile
         t0 = time.time()
-        d6 = run6(jax.random.key(61))
-        d6.block_until_ready()
+        np.asarray(run6(jax.random.key(61)))
         log(f"secondary: 6-qubit MLE bootstrap {256 / (time.time() - t0):.0f} rec/s "
             "(256 resamples; round-1 per-qubit chains: ~8.5 rec/s)")
     except Exception as e:  # pragma: no cover - informational only
