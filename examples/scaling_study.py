@@ -39,29 +39,37 @@ def main(max_qubits: int) -> None:
         def run_sim(k):
             return kron_core.kron_simulate(k, povm1, bloch, 10_000.0)
 
+        # sync via a SCALAR-REDUCTION transfer: the tunnel's
+        # block_until_ready can no-op, and transferring the full result
+        # bills the (multi-MB at 9-10 qubits) device->host copy to the
+        # measured op — a 4-byte sum that depends on the result is the
+        # honest barrier (docs/tpu_constraints.md)
+        def sync(x):
+            np.asarray(jnp.sum(x))
+
         counts = run_sim(jax.random.key(n))
-        jax.block_until_ready(counts)
+        sync(counts)
         t0 = time.time()
         counts = run_sim(jax.random.key(n + 50))
-        jax.block_until_ready(counts)
+        sync(counts)
         t_sim = time.time() - t0
 
         def run_lin(c):
             return kron_core.kron_estimate_lin(c, povm1, n)
 
-        run_lin(counts).block_until_ready()
+        sync(run_lin(counts))
         t0 = time.time()
-        run_lin(counts).block_until_ready()
+        sync(run_lin(counts))
         t_lin = time.time() - t0
 
         def run_mle(c):
             return kron_core.kron_estimate_mle_rhor(c, povm1, n, max_iter=60)
 
         est = run_mle(counts)
-        est.block_until_ready()
+        sync(est)
         t0 = time.time()
         est = run_mle(counts)
-        est.block_until_ready()
+        sync(est)
         t_mle = time.time() - t0
         d = float(qt.hs_dst(qt.Qobj(np.asarray(est, np.float64)), state))
         print(f"{n:>2} | {str(tuple(counts.shape)):>14} | {t_sim*1e3:>7.1f}ms | "

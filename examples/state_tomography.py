@@ -87,9 +87,9 @@ def time_study(max_qubits: int) -> None:
             for batch in [1, 256]:
                 counts = tmg.simulate_batch(batch)
                 # warm up the jit cache, then time
-                tmg.estimate_batch(counts, method).block_until_ready()
+                np.asarray(tmg.estimate_batch(counts, method))
                 t0 = time.time()
-                tmg.estimate_batch(counts, method).block_until_ready()
+                np.asarray(tmg.estimate_batch(counts, method))
                 dt = (time.time() - t0) / batch
                 print(f"{n:>2} | {method:>8} | {batch:>5} | {dt:>18.6f}")
 
