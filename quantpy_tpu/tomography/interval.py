@@ -694,11 +694,13 @@ class BootstrapProcessInterval(ConfidenceInterval):
     process bootstrap from ~0.8 rec/s (round 2, eigh per 8-resample chunk)
     into the tens of rec/s. `cp_engine` forces the engine ('eigh'/'ns');
     `cptp_iter` caps the Dykstra iterations of the bootstrap projection
-    (default 100 on the NS path: measured at 4 qubits, the d50/d90 distance
-    quantiles under caps of 100/200/400 and under the full-tolerance eigh
-    path are IDENTICAL to 3 decimals — the resample distance scale is
-    ~0.1-1 and the projection residual decays geometrically far below it;
-    also equality-tested against eigh at 2 qubits)."""
+    (default on the NS path: 50 at <= 4 qubits, 100 above — all measured:
+    at 4 qubits the d50/d90 quantiles under caps 50/100/200/400 and under
+    the full-tolerance eigh path agree to 4e-4 while cap 25 shifts them
+    +0.9 percent, and cap 50 runs 256 resamples at 71.5 rec/s vs 38.0 at
+    cap 100; at 5 qubits the deeper 1024-dim spectrum DOES need 100 — cap
+    50 shifts d50/d90 +4.3 percent there. Also equality-tested against
+    eigh at 2 qubits)."""
 
     def __init__(
         self,
@@ -793,7 +795,7 @@ class BootstrapProcessInterval(ConfidenceInterval):
                     ))
                     return process_core.cptp_project_bloch_host(
                         raw,
-                        max_iter=self.cptp_iter or 100,
+                        max_iter=self.cptp_iter or (50 if n_ch <= 4 else 100),
                         chunk=it_chunk,
                         cp="ns",
                     )
