@@ -129,7 +129,16 @@ def main():
         f"({PEAK_BF16_TFLOPS:.0f})"
     )
 
-    # secondary metrics (stderr only; the driver records the stdout line)
+    # secondary metrics — recorded as machine-readable `extras` fields of
+    # the stdout JSON line (round-3 verdict #9), narrated on stderr too.
+    # Each block is independently guarded: a failed secondary never costs
+    # the primary metric.
+    extras = {
+        "mfu_f32_pct": round(100 * tflops / PEAK_F32_TFLOPS, 1),
+        "tflops": round(tflops, 2),
+        "mle_iters": MLE_ITERS,
+        "n_points": N_POINTS,
+    }
     try:
         from quantpy_tpu.measurements import _single_qubit_preset
         from quantpy_tpu.tomography import kron_core
@@ -141,7 +150,9 @@ def main():
         np.asarray(r)
         t0 = time.time()
         np.asarray(kron_core.kron_estimate_lin(c6, povm1, 6))
-        log(f"secondary: 6-qubit linear inversion {1000 * (time.time() - t0):.1f} ms "
+        lin6_ms = 1000 * (time.time() - t0)
+        extras["state_lin_6q_ms"] = round(lin6_ms, 1)
+        log(f"secondary: 6-qubit linear inversion {lin6_ms:.1f} ms "
             "(reference ~45 s)")
 
         def run6(key):
@@ -153,10 +164,74 @@ def main():
         np.asarray(run6(jax.random.key(60)))  # compile
         t0 = time.time()
         np.asarray(run6(jax.random.key(61)))
-        log(f"secondary: 6-qubit MLE bootstrap {256 / (time.time() - t0):.0f} rec/s "
+        rec6 = 256 / (time.time() - t0)
+        extras["state_boot_6q_mle_rec_s"] = round(rec6, 1)
+        log(f"secondary: 6-qubit MLE bootstrap {rec6:.0f} rec/s "
             "(256 resamples; round-1 per-qubit chains: ~8.5 rec/s)")
     except Exception as e:  # pragma: no cover - informational only
-        log(f"secondary metric skipped: {e}")
+        log(f"secondary 6q metric skipped: {e}")
+
+    try:
+        # state scaling rows (2-10 qubits): one kron-factored lin + MLE-60
+        # reconstruction each, steady-state (post-compile) timing
+        from quantpy_tpu.measurements import _single_qubit_preset
+        from quantpy_tpu.tomography import kron_core
+
+        povm1 = jnp.asarray(_single_qubit_preset("proj-set"), jnp.float32)
+        scaling = {}
+        for n in (2, 4, 6, 8, 10):
+            bn = jnp.asarray(qt.GHZ(n).bloch, jnp.float32)
+            cn = kron_core.kron_simulate(
+                jax.random.key(100 + n), povm1, bn, 10_000.0
+            )
+            np.asarray(jnp.sum(cn))
+            row = {}
+            np.asarray(kron_core.kron_estimate_lin(cn, povm1, n)[0])  # compile
+            t0 = time.time()
+            np.asarray(kron_core.kron_estimate_lin(cn, povm1, n)[0])
+            row["lin_ms"] = round(1000 * (time.time() - t0), 2)
+            np.asarray(
+                kron_core.kron_estimate_mle_rhor(cn, povm1, n, max_iter=60)[0]
+            )  # compile
+            t0 = time.time()
+            np.asarray(
+                kron_core.kron_estimate_mle_rhor(cn, povm1, n, max_iter=60)[0]
+            )
+            row["mle60_ms"] = round(1000 * (time.time() - t0), 2)
+            scaling[str(n)] = row
+            log(f"secondary: {n}-qubit lin {row['lin_ms']} ms, "
+                f"MLE-60 {row['mle60_ms']} ms")
+        extras["state_scaling_kron"] = scaling
+    except Exception as e:  # pragma: no cover - informational only
+        log(f"secondary scaling metric skipped: {e}")
+
+    try:
+        # 4-qubit process bootstrap (the round-3 headline: batched
+        # scaled-Newton-Schulz Dykstra re-projection) on the measured
+        # round-3 config: 256 inputs x 81 POVMs x 2000 shots, 256
+        # resamples. First setup() pays the compile; the timed second
+        # interval reuses the process-wide jit cache (steady state,
+        # matching the 71.5 rec/s round-3 measurement method).
+        from quantpy_tpu.channel import depolarizing
+        from quantpy_tpu.tomography.process import ProcessTomograph
+
+        ptmg = ProcessTomograph(depolarizing(0.1, 4), key=7)
+        ptmg.experiment(2_000)
+        ptmg.point_estimate("lifp")
+        qt.BootstrapProcessInterval(
+            ptmg, n_points=256, key=jax.random.key(8)
+        ).setup()
+        iv = qt.BootstrapProcessInterval(
+            ptmg, n_points=256, key=jax.random.key(9)
+        )
+        t0 = time.time()
+        iv.setup()
+        rec_p = 256 / (time.time() - t0)
+        extras["process_boot_4q_rec_s"] = round(rec_p, 1)
+        log(f"secondary: 4-qubit process bootstrap {rec_p:.1f} rec/s "
+            "(256 resamples, steady state; round 3: 71.5)")
+    except Exception as e:  # pragma: no cover - informational only
+        log(f"secondary process metric skipped: {e}")
 
     value = N_POINTS / best
     print(
@@ -166,6 +241,7 @@ def main():
                 "value": round(value, 1),
                 "unit": "reconstructions/sec",
                 "vs_baseline": round(value / REFERENCE_REC_PER_SEC, 1),
+                "extras": extras,
             }
         )
     )

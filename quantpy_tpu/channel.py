@@ -187,9 +187,42 @@ class Channel(BaseQuantum):
         return self._wrap(self.choi.matrix.conj())
 
     def __matmul__(self, other):
-        raise TypeError(
-            "Matrix product of channels is undefined; compose via "
-            "`lambda rho: a.transform(b.transform(rho))`"
+        """Map composition: ``(a @ b).transform(rho) == a.transform(b.transform(rho))``.
+
+        Documented divergence: the reference inherits a plain Choi-matrix
+        matmul here (quantpy/base_quantum.py:45-57 via
+        quantpy/channel.py:159-229), but the matrix product of Choi matrices
+        is NOT the Choi matrix of the composed map — it is not even CPTP in
+        general. This implements true composition instead, so
+        ``U.as_channel() @ V.as_channel() == (U @ V).as_channel()``.
+
+        Representation choice: when both operands already hold Kraus lists
+        the composite is the Kraus chain {A_i B_j} (exact, concrete); any
+        other pairing composes lazily through `transform` dispatch, which
+        avoids forcing an O(16^n) Choi materialization of a functional
+        operand just to multiply it.
+        """
+        if not isinstance(other, Channel):
+            raise TypeError(
+                "Channel composition requires a Channel on both sides; got "
+                f"{type(other).__name__}. Wrap unitaries via `.as_channel()`."
+            )
+        if self.n_qubits != other.n_qubits:
+            raise ValueError(
+                f"Cannot compose channels on {self.n_qubits} and "
+                f"{other.n_qubits} qubits"
+            )
+        if self._kraus is not None and other._kraus is not None:
+            return Channel(
+                [
+                    Operator(a.matrix @ b.matrix)
+                    for a in self._kraus
+                    for b in other._kraus
+                ]
+            )
+        a, b = self, other
+        return Channel(
+            lambda rho: a.transform(b.transform(rho)), self.n_qubits
         )
 
     def __repr__(self):

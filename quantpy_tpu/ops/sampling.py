@@ -63,7 +63,12 @@ def _multinomial_binary_split(key, n_trials, probs):
         # natively fast and FLATTENING those shapes is ~2x slower (extra
         # relayouts, measured on both the (16384, 81, 2^k) flagship and
         # the (256, 729, 2^k) 6q bootstrap) — so flatten only the
-        # pathological small-leading x large-volume case. Element order is
+        # pathological small-leading x large-volume case. Leading 128-255
+        # with large per-element volume is UNMEASURED (no workload in the
+        # suite produces it: bootstrap batches are either < 128 chunks or
+        # >= 256 resamples); it stays on the native path, the conservative
+        # choice since flattening is the measured-slower branch on the
+        # nearest measured neighbor (256). Element order is
         # preserved, so the streams are bit-identical either way.
         # scope: rank <= 3 only — flattening a rank-4 (64, 1024, 243, 2^k)
         # process-bootstrap batch forced a relayout copy whose (4,128)

@@ -114,11 +114,15 @@ def sharded_kron_bootstrap_distances(
     method: str = "lin",
     dst: str = "hs",
     max_iter: int = 100,
+    chunk: int | None = None,
 ):
     """Kron-factored bootstrap data-parallel over the mesh — the multi-chip
     path for the 6+ qubit designs whose measurement matrix is never
     materialized. Per-device program = kron_core.kron_bootstrap_distances
     on an n_points/n_dev shard; only the final distance gather rides ICI.
+    When the per-device shard exceeds the memory-safe fused batch (9-qubit
+    volumes), the per-device program lax.map's over equal chunks — the
+    kron_core wrapper detects the traced call and stays on-device.
     """
     from ..tomography import kron_core
 
@@ -147,6 +151,7 @@ def sharded_kron_bootstrap_distances(
             method=method,
             dst=dst,
             max_iter=max_iter,
+            chunk=chunk,
         )
 
     return jax.jit(run)(

@@ -79,6 +79,35 @@ def _interp1d(x, y):
 
 from ..routines import _left_inv as _left_inv_np  # noqa: E402
 
+#: split-R-hat above this triggers the non-convergence warning on MHMC
+#: intervals (the standard Vehtari et al. practical threshold is 1.01-1.1;
+#: 1.2 flags only the decisively-unmixed chains)
+RHAT_WARN_THRESHOLD = 1.2
+
+
+def _warn_if_nonconverged(interval_name: str, r_hat: float, ess: float):
+    """Make a non-converged chain LOUD (VERDICT r3 #7): the r_hat/ess
+    attributes are surfaced on every chain, but a user who asks for the
+    interval without reading them would otherwise get quantiles of a
+    non-stationary sample. The 4+ qubit raw-count process posterior is the
+    known case (f32-precision-bound; docs/benchmarks.md 'smooth-
+    parametrization investigation'): chains there ship R-hat 1.9-3.5."""
+    import warnings
+
+    if np.isfinite(r_hat) and r_hat > RHAT_WARN_THRESHOLD:
+        warnings.warn(
+            f"{interval_name}: chains have NOT converged "
+            f"(split R-hat {r_hat:.2f} > {RHAT_WARN_THRESHOLD}, "
+            f"ESS {ess:.0f}); the returned distances are quantiles of a "
+            "non-stationary sample and are not a valid confidence "
+            "interval. Increase n_points/burn_steps, use "
+            "parametrization='kraus' with proposal='mala' (<= 3 qubits), "
+            "or prefer the bootstrap interval (the recommended 4+ qubit "
+            "process CI).",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
 
 def _require_uniform_kron_shots(tmg, what: str):
     """The kron-factored interval recipes fold a UNIFORM per-POVM shot
@@ -1024,6 +1053,7 @@ class MHMCStateInterval(ConfidenceInterval):
         per_chain_dist = dist.reshape(chain_shape)
         self.r_hat = split_rhat(per_chain_dist)
         self.ess = effective_sample_size(per_chain_dist)
+        _warn_if_nonconverged(type(self).__name__, self.r_hat, self.ess)
         dist = np.sort(dist)
         self.cl_to_dist = _interp1d(np.linspace(0, 1, len(dist)), dist)
 
@@ -1582,6 +1612,7 @@ class MHMCProcessInterval(ConfidenceInterval):
         per_chain_dist = dist.reshape(chain_shape)
         self.r_hat = split_rhat(per_chain_dist)
         self.ess = effective_sample_size(per_chain_dist)
+        _warn_if_nonconverged(type(self).__name__, self.r_hat, self.ess)
         dist = np.sort(dist)
         conf_levels = np.linspace(0, 1, len(dist))
         if self.return_samples:

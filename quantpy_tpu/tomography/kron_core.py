@@ -331,13 +331,19 @@ def kron_bootstrap_distances(
     twin of bootstrap_core.bootstrap_distances). `physical` applies to the
     'lin' re-estimates; `init` ('lin'|'mixed') selects the MLE start.
 
-    `chunk` host-chunks the resample batch (`None` = auto): at 9 qubits the
+    `chunk` splits the resample batch (`None` = auto): at 9 qubits the
     per-resample counts volume is ~10M entries and fused batches of 8+
     hit a memory cliff — 25.7 s/call at 8, a device fault at a fused 16
     (measured, docs/benchmarks.md); the auto rule caps the fused batch so
-    the per-call counts volume stays under ~2^25 entries, which keeps
-    every <= 8-qubit workload in one program (previous behavior) and runs
-    9 qubits at 4 resamples per call (measured 4.7 rec/s)."""
+    the per-call counts volume stays under ~2^25 entries — fused in one
+    program through 8 qubits for 'proj' runs and for 'proj-set' up to 19
+    resamples (chunk=19 at 6^8 entries/resample), 3 resamples per call at
+    9-qubit proj-set (6^9). Eagerly the chunks run as separate host-driven
+    device calls (freeing each counts buffer between calls); under a trace
+    (e.g. inside parallel.mesh's shard_map programs) the same chunking runs
+    as a lax.map over equal-sized chunks, so the sharded path never sees a
+    tracer on the host boundary. Either split changes the per-key random
+    stream relative to the single fused program (one key fold per chunk)."""
     import numpy as _np
 
     m1, p1, _ = jnp.asarray(povm1).shape
@@ -349,7 +355,24 @@ def kron_bootstrap_distances(
             key, bloch_est, povm1, n_qubits, n_shots, n_points,
             method, dst, max_iter, physical, init,
         )
-    keys = jax.random.split(key, -(-n_points // chunk))
+    n_calls = -(-n_points // chunk)
+    keys = jax.random.split(key, n_calls)
+    tracing = any(
+        isinstance(x, jax.core.Tracer)
+        for x in (key, bloch_est, povm1, n_shots)
+    )
+    if tracing:
+        # lax.map over equal-sized chunks: same memory bound, trace-safe.
+        # The tail chunk over-draws (chunk instead of the remainder) and the
+        # surplus iid resamples are sliced off.
+        def body(k):
+            return _kron_bootstrap_fused(
+                k, bloch_est, povm1, n_qubits, n_shots, chunk,
+                method, dst, max_iter, physical, init,
+            )
+
+        parts = jax.lax.map(body, keys)
+        return parts.reshape(-1)[:n_points]
     parts = []
     done = 0
     for k in keys:

@@ -552,6 +552,19 @@ def test_mhmc_untempered_is_tighter(state_tmg):
     assert float(dt[0]) < 0.2
 
 
+def test_mhmc_warns_on_nonconverged_chain(process_tmg):
+    """A decisively-unmixed chain must WARN, not silently return quantiles
+    (VERDICT r3 #7): a tiny-step no-burn-in chain's distance series trends
+    away from the start, so split R-hat blows past the 1.2 threshold."""
+    iv = qt.MHMCProcessInterval(
+        process_tmg, n_points=60, step=1e-4, burn_steps=0,
+        use_new_estimate=True,
+    )
+    with pytest.warns(RuntimeWarning, match="NOT converged"):
+        iv(np.array([0.9]))
+    assert iv.r_hat > 1.2
+
+
 def test_mhmc_adaptive_step(process_tmg):
     """adapt_step brings the process chain out of the 0-percent-acceptance
     regime the reference's defaults land in."""

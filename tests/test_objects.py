@@ -172,6 +172,48 @@ def test_channel_algebra():
     assert a.H.choi.matrix == pytest.approx(a.choi.matrix.conj().T)
 
 
+def test_channel_composition():
+    """`a @ b` is map composition (VERDICT r3 #8): unitary channels compose
+    like their operators, mixed-representation pairs compose through
+    transform, and the result is CPTP."""
+    # unitary test: U.as_channel() @ V.as_channel() == (U @ V).as_channel()
+    u, v = op.H, op.T
+    composed = u.as_channel() @ v.as_channel()
+    direct = (u @ v).as_channel()
+    np.testing.assert_allclose(
+        composed.choi.matrix, direct.choi.matrix, atol=1e-10
+    )
+    # kraus-kraus pairing takes the Kraus-chain branch
+    a = amplitude_damping(0.2)
+    b = amplitude_damping(0.3)
+    ab = a @ b
+    assert ab._kraus is not None and len(ab._kraus) == 4
+    rho = qt.Qobj(np.array([[0.7, 0.2 + 0.1j], [0.2 - 0.1j, 0.3]]))
+    np.testing.assert_allclose(
+        ab.transform(rho).matrix,
+        a.transform(b.transform(rho)).matrix,
+        atol=1e-12,
+    )
+    assert ab.is_cptp()
+    # functional x kraus pairing composes lazily, same action
+    c = depolarizing(0.5)
+    ca = c @ a
+    np.testing.assert_allclose(
+        ca.transform(rho).matrix,
+        c.transform(a.transform(rho)).matrix,
+        atol=1e-12,
+    )
+    assert ca.is_cptp()
+    # composition is order-sensitive
+    ac = a @ c
+    assert not np.allclose(ac.choi.matrix, ca.choi.matrix)
+    # mismatched sizes / non-channels are rejected
+    with pytest.raises(ValueError):
+        depolarizing(0.5, 2) @ a
+    with pytest.raises(TypeError):
+        a @ op.H
+
+
 def test_unitary_as_channel():
     ch = op.X.as_channel()
     rho = qt.zero(1)

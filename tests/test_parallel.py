@@ -86,6 +86,37 @@ def test_sharded_kron_bootstrap(design):
     assert abs(np.median(d_sharded) - np.median(d_single)) < 0.05
 
 
+def test_sharded_kron_bootstrap_chunked(design):
+    """Regression: when the per-device resample shard exceeds the fused
+    chunk (the 9-qubit memory rule), the kron wrapper runs under the
+    shard_map trace — it must lax.map on-device instead of raising
+    TracerArrayConversionError from host chunking (ADVICE round 3)."""
+    from quantpy_tpu.measurements import _single_qubit_preset
+    from quantpy_tpu.parallel import sharded_kron_bootstrap_distances
+    from quantpy_tpu.tomography import kron_core
+
+    tmg, est = design
+    n = tmg.state.n_qubits
+    povm1 = _single_qubit_preset("proj-set")
+    mesh = make_mesh()
+    # 64/8 devices = 8 per device, chunk=3 -> 3 lax.map chunks per device
+    d_sharded = np.asarray(
+        sharded_kron_bootstrap_distances(
+            mesh, jax.random.key(7), est.bloch, povm1, n, 1000.0,
+            n_points=64, method="lin", chunk=3,
+        )
+    )
+    assert d_sharded.shape == (64,)
+    assert np.all(np.isfinite(d_sharded)) and np.all(d_sharded >= 0)
+    d_single = np.asarray(
+        kron_core.kron_bootstrap_distances(
+            jax.random.key(8), est.bloch, povm1, n, 1000.0,
+            n_points=64, method="lin",
+        )
+    )
+    assert abs(np.median(d_sharded) - np.median(d_single)) < 0.05
+
+
 def test_sharded_bootstrap_validates_divisibility(design):
     tmg, est = design
     mesh = make_mesh()
