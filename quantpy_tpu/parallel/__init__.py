@@ -5,7 +5,11 @@ from .mesh import (
     povm_sharded_probabilities,
     sharded_bootstrap_distances,
     sharded_coverage,
+    sharded_kron_adjoint_flat,
     sharded_kron_bootstrap_distances,
+    sharded_kron_estimate_lin,
+    sharded_kron_forward_flat,
+    sharded_mhmc_kraus_chains,
     sharded_mhmc_process_chains,
     sharded_mhmc_state_chains,
     sharded_process_bootstrap_distances,
@@ -16,7 +20,11 @@ __all__ = [
     "povm_sharded_probabilities",
     "sharded_bootstrap_distances",
     "sharded_coverage",
+    "sharded_kron_adjoint_flat",
     "sharded_kron_bootstrap_distances",
+    "sharded_kron_estimate_lin",
+    "sharded_kron_forward_flat",
+    "sharded_mhmc_kraus_chains",
     "sharded_mhmc_process_chains",
     "sharded_mhmc_state_chains",
     "sharded_process_bootstrap_distances",

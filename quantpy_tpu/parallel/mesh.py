@@ -31,6 +31,9 @@ __all__ = [
     "make_mesh",
     "sharded_bootstrap_distances",
     "sharded_kron_bootstrap_distances",
+    "sharded_kron_forward_flat",
+    "sharded_kron_adjoint_flat",
+    "sharded_kron_estimate_lin",
     "sharded_process_bootstrap_distances",
     "sharded_coverage",
     "sharded_mhmc_process_chains",
@@ -433,6 +436,211 @@ def sharded_mhmc_process_chains(
     return _sharded_chains(
         mesh, key, x_init,
         (input_blochs_t, povm_matrix, n_measurements, flat_counts), make_fns,
+        step, n_chains, n_samples, burn_steps, thinning, jump_distr,
+    )
+
+
+def _kron_factor_shards(povm1, n_qubits: int, n_dev: int):
+    """Shared setup of the operator-sharded kron chain: grouped factors
+    with the FIRST group's outcome axis destined for the mesh."""
+    from ..tomography import kron_core
+
+    povm1 = jnp.asarray(povm1, dtype=rdtype())
+    groups, factors = kron_core._grouped_factors(povm1, n_qubits)
+    p0 = factors[0].shape[1]
+    if p0 % n_dev:
+        raise ValueError(
+            f"first-group outcome axis {p0} must divide by {n_dev} devices "
+            f"(groups {groups}; pick a mesh size dividing p1^{groups[0]})"
+        )
+    return groups, factors
+
+
+def sharded_kron_forward_flat(mesh: Mesh, bloch, povm1, n_qubits: int):
+    """OPERATOR-sharded kron forward (SURVEY section 2 checklist: "sharding
+    the 4^n Pauli-transfer operators over devices for n >= 6"; VERDICT r3
+    #3): the FIRST measurement group's outcome axis rides the mesh, so
+    each device holds factor slice f0[:, p0_shard, :] and computes its
+    (z, M, P/n_dev) slab of the output — the bloch input is replicated
+    (4^n reals, e.g. 16 MB at 11 qubits) and NO collective runs in the
+    forward. With 8 devices the 6^n output tensor (1.45 GB at 11 qubits,
+    8.7 GB at 12) is memory-sharded 8x, which is the principled multi-chip
+    answer to the single-chip 11-qubit layout wall (docs/benchmarks.md).
+
+    Returns the flat forward (…, (m1*p1)^n) fully gathered — the matvec
+    twin of kron_core.kron_forward_flat (equality-tested at 6 qubits).
+    """
+    from ..tomography import kron_core
+
+    n_dev = mesh.devices.size
+    groups, factors = _kron_factor_shards(povm1, n_qubits, n_dev)
+    k = len(groups)
+    spec = kron_core._forward_spec(k)
+    m1, p1, _ = jnp.asarray(povm1).shape
+    m_tot, p_tot = m1**n_qubits, p1**n_qubits
+    bloch = jnp.asarray(bloch, dtype=rdtype())
+    batch_shape = bloch.shape[:-1]
+    x = bloch.reshape((-1,) + tuple(4**g for g in groups))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(None, BATCH_AXIS, None)) + (P(),) * (k - 1),
+        out_specs=P(None, None, BATCH_AXIS),
+    )
+    def run(xs, f0_loc, *rest):
+        out = jnp.einsum(spec, xs, f0_loc, *rest, optimize=True)
+        return out.reshape(xs.shape[0], m_tot, -1)
+
+    out = jax.jit(run)(x, factors[0], *factors[1:])
+    return out.reshape(batch_shape + (m_tot * p_tot,))
+
+
+def sharded_kron_adjoint_flat(mesh: Mesh, c, povm1, n_qubits: int):
+    """Operator-sharded kron adjoint: each device contracts its outcome
+    slab c[..., M, p0_shard, ...] against its factor slice; the only
+    collective is the psum of the small (4^n,) results over ICI. Twin of
+    kron_core.kron_adjoint_flat (equality-tested at 6 qubits)."""
+    from ..tomography import kron_core
+
+    n_dev = mesh.devices.size
+    groups, factors = _kron_factor_shards(povm1, n_qubits, n_dev)
+    k = len(groups)
+    spec = kron_core._adjoint_spec(k)
+    m1, p1, _ = jnp.asarray(povm1).shape
+    m_tot, p_tot = m1**n_qubits, p1**n_qubits
+    m_sizes = tuple(f.shape[0] for f in factors)
+    p_sizes = tuple(f.shape[1] for f in factors)
+    c = jnp.asarray(c, dtype=rdtype())
+    batch_shape = c.shape[:-1]
+    c3 = c.reshape((-1, m_tot, p_tot))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, BATCH_AXIS), P(None, BATCH_AXIS, None))
+        + (P(),) * (k - 1),
+        out_specs=P(),
+    )
+    def run(cs, f0_loc, *rest):
+        cl = cs.reshape(
+            (cs.shape[0],) + m_sizes + (f0_loc.shape[1],) + p_sizes[1:]
+        )
+        out = jnp.einsum(spec, cl, f0_loc, *rest, optimize=True)
+        return jax.lax.psum(out.reshape(cs.shape[0], -1), BATCH_AXIS)
+
+    out = jax.jit(run)(c3, factors[0], *factors[1:])
+    return out.reshape(batch_shape + (4**n_qubits,))
+
+
+def sharded_kron_estimate_lin(
+    mesh: Mesh, counts, povm1, n_qubits: int, physical: bool = True
+):
+    """Operator-sharded linear inversion: counts live SHARDED on the
+    outcome axis (the 6^n tensor is never whole on one device), the
+    adjoint psums the (4^n,) right-hand side over ICI, and the factored
+    Gram solve + feasibility projection run replicated. Same math as
+    kron_core.kron_estimate_lin (equality-tested at 6 qubits)."""
+    from ..tomography import kron_core
+
+    n_dev = mesh.devices.size
+    groups, factors = _kron_factor_shards(povm1, n_qubits, n_dev)
+    k = len(groups)
+    spec = kron_core._adjoint_spec(k)
+    m1, p1, _ = jnp.asarray(povm1).shape
+    m_tot, p_tot = m1**n_qubits, p1**n_qubits
+    m_sizes = tuple(f.shape[0] for f in factors)
+    p_sizes = tuple(f.shape[1] for f in factors)
+    gram_invs = kron_core._grouped_gram_inv(
+        jnp.asarray(povm1, dtype=rdtype()), groups
+    )
+    solve_spec = kron_core._solve_spec(k)
+    counts = jnp.asarray(counts, dtype=rdtype())
+    batch_shape = counts.shape[:-2]
+    c3 = counts.reshape((-1, m_tot, p_tot))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, BATCH_AXIS), P(None, BATCH_AXIS, None))
+        + (P(),) * (k - 1)
+        + (P(),) * k,
+        out_specs=P(),
+    )
+    def run(cs, f0_loc, *rest_and_grams):
+        rest = rest_and_grams[: k - 1]
+        grams = rest_and_grams[k - 1 :]
+        total = jax.lax.psum(
+            jnp.sum(cs, axis=(-2, -1), keepdims=True), BATCH_AXIS
+        )
+        freq = cs / total
+        cl = freq.reshape(
+            (cs.shape[0],) + m_sizes + (f0_loc.shape[1],) + p_sizes[1:]
+        )
+        rhs = jnp.einsum(spec, cl, f0_loc, *rest, optimize=True)
+        rhs = jax.lax.psum(rhs.reshape(cs.shape[0], -1), BATCH_AXIS)
+        x = rhs.reshape((-1,) + tuple(4**g for g in groups))
+        sol = jnp.einsum(solve_spec, x, *grams, optimize=True)
+        bloch = sol.reshape(cs.shape[0], 4**n_qubits) * m_tot / (2**n_qubits)
+        if physical:
+            from ..tomography.state_core import make_feasible_bloch
+
+            bloch = make_feasible_bloch(bloch, n_qubits)
+        return bloch
+
+    out = jax.jit(run)(c3, factors[0], *factors[1:], *gram_invs)
+    return out.reshape(batch_shape + (4**n_qubits,))
+
+
+def sharded_mhmc_kraus_chains(
+    mesh: Mesh,
+    key,
+    dz_init,
+    pack,
+    input_blochs_t,
+    w_flat,
+    flat_counts,
+    p_ref,
+    scale: float,
+    step: float,
+    n_chains: int,
+    n_samples: int,
+    burn_steps: int = 100,
+    thinning: int = 1,
+    jump_distr=None,
+):
+    """ANCHORED kraus-factor process chains sharded over the mesh (lifts
+    the round-3 vmap-only fence, VERDICT r3 #5): each device runs its
+    share of random-walk chains on the smooth exactly-CPTP anchored-delta
+    target (process_core.process_nll_anchored); the chain state is the
+    offset dz from the host-f64 anchor in `pack`
+    (process_core.np_kraus_anchor_pack). Symmetric proposals only (MALA
+    kraus chains parallelize with vmap, as before).
+
+    Returns (samples (n_chains, n_samples, 2*D*D) of OFFSETS dz,
+    acceptance_rate) — decode via pack's anchor + kraus_delta_choi_bloch.
+    """
+    from ..mhmc import basic_update
+    from ..tomography import process_core
+
+    scale = float(scale)
+    pack_keys = sorted(pack)
+    pack_vals = tuple(pack[k] for k in pack_keys)
+
+    def make_fns(*arrs):
+        pk = dict(zip(pack_keys, arrs[: len(pack_keys)]))
+        b_, w_, flat_, p_ = arrs[len(pack_keys):]
+
+        def logpdf(x):
+            return -scale * process_core.process_nll_anchored(
+                x, b_, w_, flat_, pk, p_
+            )
+
+        return logpdf, basic_update
+
+    return _sharded_chains(
+        mesh, key, dz_init,
+        pack_vals + (input_blochs_t, w_flat, flat_counts, p_ref), make_fns,
         step, n_chains, n_samples, burn_steps, thinning, jump_distr,
     )
 

@@ -1097,6 +1097,7 @@ class MHMCProcessInterval(ConfidenceInterval):
         precondition: bool = True,
         parametrization: str = "bloch",
         mode_seek: int | None = None,
+        anchored: bool = True,
     ):
         """`temper=False` (the default) samples exp(-NLL) with the
         raw-count NLL exactly like the reference (process.py:310-314) —
@@ -1135,7 +1136,19 @@ class MHMCProcessInterval(ConfidenceInterval):
         ascends the smooth target with that many Adam steps
         (mhmc.maximize_logpdf): the projected linear inversion is NOT the
         smooth target's mode (measured 4q gap: ~1.2e5 NLL), and a chain
-        adapted in that transient freezes at a transient-sized step."""
+        adapted in that transient freezes at a transient-sized step.
+        `anchored=True` (default, kraus mode) evaluates the target with
+        the ANCHORED EXACT-DELTA decode
+        (process_core.np_kraus_anchor_pack): the chain state is the offset
+        dz = z - z_ref from a host-f64 anchor (re-anchored at the mode
+        after mode_seek) and every state-dependent quantity is an exact
+        function of dz — the f32 rounding field then scales with the
+        posterior-sized |dX| instead of |X|. Measured on the 4q config:
+        the round-3 target's deterministic rounding field (max ~10, rms
+        ~3 over a DNLL~300 line — the wall that froze 4q chains) drops to
+        max 0.011 / rms 0.003, ~30x under the ~0.3 log-ratio budget of a
+        4e7-count posterior. `anchored=False` restores the round-3
+        full-decode rel-form target."""
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
             thinning=thinning, warm_start=warm_start, method=method,
@@ -1147,6 +1160,7 @@ class MHMCProcessInterval(ConfidenceInterval):
             mesh=mesh, jump_logpdf=jump_logpdf, temper=temper,
             proposal=proposal, precondition=precondition,
             parametrization=parametrization, mode_seek=mode_seek,
+            anchored=anchored,
         )
         if parametrization not in ("bloch", "kraus"):
             raise ValueError(
@@ -1222,6 +1236,7 @@ class MHMCProcessInterval(ConfidenceInterval):
                 ).reshape(-1)
                 flat_dev = jnp.asarray(flat_np, rdtype())
                 self._kraus_whiten = None
+                a_l_np = a_r_np = None
                 if self.precondition:
                     # M-space design-curvature whitening (see
                     # process_core.kraus_design_whitener): the raw-count
@@ -1250,6 +1265,7 @@ class MHMCProcessInterval(ConfidenceInterval):
                         a_l = a_l * s_norm
                         z0 = z0 / s_norm
                     y0 = np.stack([z0.real, z0.imag], axis=0)
+                    a_l_np, a_r_np = a_l, a_r
                     al_pair = to_pair(a_l)
                     ar_pair = to_pair(a_r)
                     self._kraus_whiten = (al_pair, ar_pair)
@@ -1267,32 +1283,89 @@ class MHMCProcessInterval(ConfidenceInterval):
                         )
 
                 self._kraus_decode = _decode_z
-                x_init = y0.reshape(-1)
-                dim = x_init.shape[0]
-
-                def _target_kraus(yf):
-                    return -scale * process_core.process_nll_factored_rel(
-                        _decode_z(yf), b_dev, w_dev, flat_dev,
-                        x_ref_dev, p_ref,
-                    )
-
-                target = _target_kraus
+                self._kraus_anchor = None
                 seek = 500 if self.mode_seek is None else int(self.mode_seek)
-                if seek > 0:
-                    # ascend to the smooth target's mode before sampling —
-                    # the projected linear inversion is a transient start
-                    # (see the class docstring)
-                    from ..mhmc import maximize_logpdf
+                b_np = np.asarray(self.tmg._input_blochs_t(), np.float64)
+                w_np = np.asarray(w_dev, np.float64)
+                if self.anchored:
+                    # anchored exact-delta target (see the class docstring
+                    # and process_core.np_kraus_anchor_pack): chain state =
+                    # offset dz from a host-f64 anchor; re-anchored at the
+                    # mode after mode_seek so the chain's bulk stays in the
+                    # smallest-|dz| (most accurate) region
+                    z_ref = y0[0] + 1j * y0[1]
 
-                    rms0 = float(np.sqrt(np.mean(x_init**2))) or 1.0
-                    x_init = np.asarray(
-                        maximize_logpdf(
-                            target, x_init, n_steps=seek, lr=3e-3 * rms0
-                        ),
-                        dtype=np.float64,
+                    def _make_anchor(z_ref_c):
+                        pack, x_ref_b = process_core.np_kraus_anchor_pack(
+                            z_ref_c, a_l_np, a_r_np
+                        )
+                        p_ref_a = jnp.asarray(
+                            d_choi
+                            * np.einsum(
+                                "sa,ab,kb->sk",
+                                b_np,
+                                x_ref_b.reshape(d_choi, d_choi),
+                                w_np,
+                            ).reshape(-1),
+                            rdtype(),
+                        )
+
+                        def tgt(dzf):
+                            return -scale * process_core.process_nll_anchored(
+                                dzf, b_dev, w_dev, flat_dev, pack, p_ref_a
+                            )
+
+                        return pack, x_ref_b, p_ref_a, tgt
+
+                    pack, x_ref_b, p_ref_a, target = _make_anchor(z_ref)
+                    rms_ref = float(np.sqrt(np.mean(y0**2))) or 1.0
+                    x_init = np.zeros(2 * d_choi * d_choi, dtype=np.float64)
+                    dim = x_init.shape[0]
+                    if seek > 0:
+                        from ..mhmc import maximize_logpdf
+
+                        dz_mode = np.asarray(
+                            maximize_logpdf(
+                                target, x_init, n_steps=seek, lr=3e-3 * rms_ref
+                            ),
+                            dtype=np.float64,
+                        )
+                        z_ref = z_ref + (
+                            dz_mode.reshape(2, d_choi, d_choi)[0]
+                            + 1j * dz_mode.reshape(2, d_choi, d_choi)[1]
+                        )
+                        pack, x_ref_b, p_ref_a, target = _make_anchor(z_ref)
+                    self._kraus_anchor = (pack, x_ref_b)
+                    # context for the mesh-sharded chain dispatch
+                    self._kraus_sharded_ctx = (
+                        pack, b_dev, w_dev, flat_dev, p_ref_a, scale
                     )
+                else:
+                    x_init = y0.reshape(-1)
+                    dim = x_init.shape[0]
+
+                    def _target_kraus(yf):
+                        return -scale * process_core.process_nll_factored_rel(
+                            _decode_z(yf), b_dev, w_dev, flat_dev,
+                            x_ref_dev, p_ref,
+                        )
+
+                    target = _target_kraus
+                    if seek > 0:
+                        # ascend to the smooth target's mode before sampling —
+                        # the projected linear inversion is a transient start
+                        # (see the class docstring)
+                        from ..mhmc import maximize_logpdf
+
+                        rms0 = float(np.sqrt(np.mean(x_init**2))) or 1.0
+                        x_init = np.asarray(
+                            maximize_logpdf(
+                                target, x_init, n_steps=seek, lr=3e-3 * rms0
+                            ),
+                            dtype=np.float64,
+                        )
                 drift_fn = (
-                    jax.grad(_target_kraus) if self.proposal == "mala" else None
+                    jax.grad(target) if self.proposal == "mala" else None
                 )
                 update_rule = basic_update
             elif big:
@@ -1450,15 +1523,17 @@ class MHMCProcessInterval(ConfidenceInterval):
                 drift_fn = None
                 target = lambda y: -scale * self.tmg._nll(y)  # noqa: E731
                 update_rule = self.tmg._cptp_update_rule
-            # kraus-mode f32 targets carry O(1) evaluation noise
-            # (count-amplified rounding); stored-logp chains stick on
+            # non-anchored kraus-mode f32 targets carry O(1) evaluation
+            # noise (count-amplified rounding); stored-logp chains stick on
             # +noise flukes there — refresh the current-state logp every
-            # step (see mhmc._run_chain). Exact (x64) targets keep the
-            # cheaper stored-logp chain.
+            # step (see mhmc._run_chain). Exact (x64) and anchored targets
+            # (rounding field rms ~3e-3, measured) keep the cheaper
+            # stored-logp chain.
             from ..config import rdtype as _rdtype
 
             refresh = (
                 self.parametrization == "kraus"
+                and not self.anchored
                 and np.dtype(_rdtype()) == np.dtype(np.float32)
             )
             self.chain = MHMC(
@@ -1509,46 +1584,75 @@ class MHMCProcessInterval(ConfidenceInterval):
                 raise NotImplementedError(
                     "mesh-sharded chains support symmetric proposals only"
                 )
-            if self.parametrization == "kraus":
-                raise NotImplementedError(
-                    "mesh-sharded chains implement the bloch-space "
-                    "proposal scheme; kraus-factor chains parallelize "
-                    "with n_chains alone (vmap)"
-                )
             if self.proposal == "mala":
                 raise NotImplementedError(
                     "mesh-sharded chains run the random-walk proposal; "
                     "MALA chains parallelize with n_chains alone (vmap)"
                 )
-            if big:
+            per_chain = -(-self.n_points // self.n_chains)
+            if self.parametrization == "kraus":
+                if not self.anchored:
+                    raise NotImplementedError(
+                        "mesh-sharded kraus chains run the anchored-delta "
+                        "target (anchored=True); the full-decode target "
+                        "parallelizes with n_chains alone (vmap)"
+                    )
+                from ..parallel import sharded_mhmc_kraus_chains
+
+                pack, b_dev, w_dev, flat_dev, p_ref_a, k_scale = (
+                    self._kraus_sharded_ctx
+                )
+                samples, self.acceptance_rate = sharded_mhmc_kraus_chains(
+                    self.mesh,
+                    self.chain._next_key(),
+                    self.chain.x_t,
+                    pack,
+                    b_dev,
+                    w_dev,
+                    flat_dev,
+                    p_ref_a,
+                    k_scale,
+                    self.chain.step,
+                    self.n_chains,
+                    per_chain,
+                    burn_steps=self.burn_steps,
+                    thinning=self.thinning,
+                    jump_distr=self.jump_distr,
+                )
+                chain_shape = samples.shape[:2]
+                samples = samples.reshape(-1, samples.shape[-1])
+            elif big:
                 raise NotImplementedError(
-                    "mesh-sharded chains implement the project-the-"
+                    "mesh-sharded bloch chains implement the project-the-"
                     "proposal scheme, which freezes at "
                     f">= {self.PROJECTED_TARGET_QUBITS} qubits "
-                    "(docs/benchmarks.md); use n_chains without a mesh "
-                    "(vmapped projected-target chains) there"
+                    "(docs/benchmarks.md); use parametrization='kraus' "
+                    "(anchored, mesh-shardable) or n_chains without a mesh "
+                    "there"
                 )
-            from ..parallel import sharded_mhmc_process_chains
+            else:
+                from ..parallel import sharded_mhmc_process_chains
 
-            t0 = self.tmg.tomographs[0]
-            per_chain = -(-self.n_points // self.n_chains)
-            samples, self.acceptance_rate = sharded_mhmc_process_chains(
-                self.mesh,
-                self.chain._next_key(),
-                self.chain.x_t,
-                self.tmg._input_blochs_t(),
-                t0.povm_matrix,
-                t0.n_measurements,
-                np.concatenate([t.flat_results for t in self.tmg.tomographs]),
-                self.chain.step,
-                self.n_chains,
-                per_chain,
-                burn_steps=self.burn_steps,
-                thinning=self.thinning,
-                jump_distr=self.jump_distr,
-            )
-            chain_shape = samples.shape[:2]
-            samples = samples.reshape(-1, samples.shape[-1])
+                t0 = self.tmg.tomographs[0]
+                samples, self.acceptance_rate = sharded_mhmc_process_chains(
+                    self.mesh,
+                    self.chain._next_key(),
+                    self.chain.x_t,
+                    self.tmg._input_blochs_t(),
+                    t0.povm_matrix,
+                    t0.n_measurements,
+                    np.concatenate(
+                        [t.flat_results for t in self.tmg.tomographs]
+                    ),
+                    self.chain.step,
+                    self.n_chains,
+                    per_chain,
+                    burn_steps=self.burn_steps,
+                    thinning=self.thinning,
+                    jump_distr=self.jump_distr,
+                )
+                chain_shape = samples.shape[:2]
+                samples = samples.reshape(-1, samples.shape[-1])
         elif self.n_chains > 1:
             per_chain = -(-self.n_points // self.n_chains)
             samples, self.acceptance_rate = self.chain.sample_chains(
@@ -1572,7 +1676,19 @@ class MHMCProcessInterval(ConfidenceInterval):
                 -1, 2, d_choi, d_choi
             )
             chunk = max(1, (1 << 24) // (d_choi * d_choi))
-            if whiten is not None:
+            if getattr(self, "_kraus_anchor", None) is not None:
+                # anchored chains store offsets dz; decode as the f64
+                # anchor bloch plus the exact-delta image (same accuracy
+                # argument as the target)
+                a_pack, a_x_ref = self._kraus_anchor
+
+                def _decode_batch(zz):
+                    return a_x_ref + np.asarray(
+                        process_core.kraus_delta_choi_bloch(zz, a_pack),
+                        dtype=np.float64,
+                    )
+
+            elif whiten is not None:
                 al_pair, ar_pair = whiten
 
                 def _decode_batch(zz):

@@ -110,12 +110,90 @@ def _grouped_factors(povm1, n_qubits: int):
     return groups, factors
 
 
+#: per-resample design volume (m1*p1)^n above which the grouped einsum
+#: chains switch to the m-block-chunked evaluation (see
+#: _forward_grouped_chunked): at 11 qubits the fused chain's 9-axis
+#: intermediate (27,27,27,9,8,8,8,4) lane-pads its trailing group axes
+#: 32x under (8,128) tiling — a measured 24.5 GB request against 16 GB
+#: HBM (docs/benchmarks.md, round 3). 6^10 = 60M sits under this bound
+#: (the fused path is measured-good through 10 qubits); 6^11 = 363M is
+#: over it.
+CHUNKED_CHAIN_VOLUME = 1 << 27
+
+
+def _chunked_specs(k: int):
+    """einsum specs for one m0-slice of the first group.
+
+    forward: bloch (z, d0..dk-1) x f0-slice (p0, d0) x rest (mj, pj, dj)
+             -> (z, m1..mk-1, p0, p1..pk-1)
+    adjoint: the mirror, back to (z, d0..dk-1)."""
+    m, p, d = _subscripts(k)
+    f_ops = [p[0] + d[0]] + [m[j] + p[j] + d[j] for j in range(1, k)]
+    out = "z" + "".join(m[1:]) + p[0] + "".join(p[1:])
+    fwd = ",".join(["z" + "".join(d)] + f_ops) + "->" + out
+    adj = ",".join([out] + f_ops) + "->z" + "".join(d)
+    return fwd, adj
+
+
+def _forward_grouped_chunked(x, factors, groups):
+    """Forward chain chunked over the FIRST group's measurement axis.
+
+    At 11+ qubits the fused multi-axis einsum intermediate lane-pads to
+    ~24.5 GB (see CHUNKED_CHAIN_VOLUME). Evaluating one m0-slice at a
+    time shrinks every padded intermediate by M0 (= 27 for 3-qubit
+    proj-set groups) while the block results assemble into the clean 2-D
+    flat output; lax.map keeps it one compiled program.
+    Returns (z, M_total, P_total)."""
+    k = len(groups)
+    f0 = factors[0]
+    m0 = f0.shape[0]
+    fwd, _ = _chunked_specs(k)
+    m_rest = int(np.prod([f.shape[0] for f in factors[1:]], initial=1))
+    p_tot = int(np.prod([f.shape[1] for f in factors]))
+
+    def block(f0_slice):
+        out = jnp.einsum(fwd, x, f0_slice, *factors[1:], optimize=True)
+        return out.reshape(x.shape[0], m_rest, p_tot)
+
+    out = jax.lax.map(block, f0)  # (m0, z, m_rest, p_tot)
+    out = jnp.moveaxis(out, 0, 1)
+    return out.reshape(x.shape[0], m0 * m_rest, p_tot)
+
+
+def _adjoint_grouped_chunked(c, factors, groups, d_shape):
+    """Adjoint chain chunked over the first group's measurement axis:
+    accumulates sum_m0 A_m0^T c_m0 with one m0-slice materialized at a
+    time (the mirror of :func:`_forward_grouped_chunked`).
+    `c`: (z, M_total, P_total); returns (z, 4^n)."""
+    k = len(groups)
+    f0 = factors[0]
+    m0, p0 = f0.shape[0], f0.shape[1]
+    _, adj = _chunked_specs(k)
+    m_rest = [f.shape[0] for f in factors[1:]]
+    p_rest = [f.shape[1] for f in factors[1:]]
+    z = c.shape[0]
+    # slice on the CLEAN 3-D layout; only the per-block slice takes the
+    # padded multi-axis view (1/m0 of the fused chain's request)
+    c3 = c.reshape(z, m0, int(np.prod(m_rest, initial=1)), c.shape[-1])
+
+    def body(acc, f0_and_slice):
+        f0_slice, c_slice = f0_and_slice
+        cb = c_slice.reshape((z, *m_rest, p0, *p_rest))
+        out = jnp.einsum(adj, cb, f0_slice, *factors[1:], optimize=True)
+        return acc + out, None
+
+    init = jnp.zeros((z,) + tuple(d_shape), dtype=c.dtype)
+    acc, _ = jax.lax.scan(body, init, (f0, jnp.moveaxis(c3, 1, 0)))
+    return acc.reshape(z, -1)
+
+
 def kron_probs(povm1, n_qubits: int, bloch):
     """Outcome probabilities 2^n * (kron povm1) . bloch, clipped to [0, 1].
 
     povm1: (m1, p1, 4); bloch: (..., 4^n). Returns (..., m1^n, p1^n).
     Matches state_core.experiment_probabilities on the materialized POVM.
-    """
+    Above CHUNKED_CHAIN_VOLUME the chain evaluates one first-group
+    m-slice at a time (the 11-qubit enabler)."""
     bloch = jnp.asarray(bloch, dtype=rdtype())
     n = n_qubits
     m1, p1, _ = povm1.shape
@@ -123,18 +201,32 @@ def kron_probs(povm1, n_qubits: int, bloch):
     k = len(groups)
     batch_shape = bloch.shape[:-1]
     x = bloch.reshape((-1,) + tuple(4**g for g in groups))
-    out = jnp.einsum(_forward_spec(k), x, *factors, optimize=True)
+    if (m1 * p1) ** n > CHUNKED_CHAIN_VOLUME:
+        out = _forward_grouped_chunked(x, factors, groups)
+    else:
+        out = jnp.einsum(_forward_spec(k), x, *factors, optimize=True)
     out = out.reshape(batch_shape + (m1**n, p1**n)) * (2**n)
     return jnp.clip(out, 0.0, 1.0)
 
 
 def kron_apply_adjoint(povm1, n_qubits: int, c):
-    """(kron povm1)^T c for c of shape (..., m1^n, p1^n) -> (..., 4^n)."""
+    """(kron povm1)^T c for c of shape (..., m1^n, p1^n) -> (..., 4^n).
+    Above CHUNKED_CHAIN_VOLUME the mirror of the chunked forward runs
+    (one first-group m-slice at a time, scan-accumulated)."""
     c = jnp.asarray(c, dtype=rdtype())
     n = n_qubits
+    m1, p1, _ = povm1.shape
     groups, factors = _grouped_factors(povm1, n)
     k = len(groups)
     batch_shape = c.shape[:-2]
+    if (m1 * p1) ** n > CHUNKED_CHAIN_VOLUME:
+        out = _adjoint_grouped_chunked(
+            c.reshape((-1,) + c.shape[-2:]),
+            factors,
+            groups,
+            tuple(4**g for g in groups),
+        )
+        return out.reshape(batch_shape + (4**n,))
     x = c.reshape(
         (-1,)
         + tuple(f.shape[0] for f in factors)
@@ -172,7 +264,10 @@ def kron_forward_flat(povm1, n_qubits: int, bloch):
     groups, factors = _grouped_factors(povm1, n)
     batch_shape = bloch.shape[:-1]
     x = bloch.reshape((-1,) + tuple(4**g for g in groups))
-    out = jnp.einsum(_forward_spec(len(groups)), x, *factors, optimize=True)
+    if (m1 * p1) ** n > CHUNKED_CHAIN_VOLUME:
+        out = _forward_grouped_chunked(x, factors, groups)
+    else:
+        out = jnp.einsum(_forward_spec(len(groups)), x, *factors, optimize=True)
     return out.reshape(batch_shape + ((m1 * p1) ** n,))
 
 
@@ -338,12 +433,16 @@ def kron_bootstrap_distances(
     the per-call counts volume stays under ~2^25 entries — fused in one
     program through 8 qubits for 'proj' runs and for 'proj-set' up to 19
     resamples (chunk=19 at 6^8 entries/resample), 3 resamples per call at
-    9-qubit proj-set (6^9). Eagerly the chunks run as separate host-driven
-    device calls (freeing each counts buffer between calls); under a trace
-    (e.g. inside parallel.mesh's shard_map programs) the same chunking runs
-    as a lax.map over equal-sized chunks, so the sharded path never sees a
-    tracer on the host boundary. Either split changes the per-key random
-    stream relative to the single fused program (one key fold per chunk)."""
+    9-qubit proj-set (6^9). Chunks STREAM inside one jitted program as a
+    lax.map over equal-sized sub-batches (one sub-batch's counts live at a
+    time), which removes the per-call dispatch wall that capped the
+    9-10-qubit bootstrap (round 3: one resample per call at 10 qubits =
+    0.8 rec/s); eagerly the streamed program is re-issued per
+    `calls_cap`-resample super-chunk so a single device execution stays
+    under the axon ~60 s kill (docs/tpu_constraints.md). Under a trace
+    (e.g. inside parallel.mesh's shard_map programs) one lax.map covers
+    everything. Any split changes the per-key random stream relative to
+    the single fused program (one key fold per chunk)."""
     import numpy as _np
 
     m1, p1, _ = jnp.asarray(povm1).shape
@@ -355,38 +454,38 @@ def kron_bootstrap_distances(
             key, bloch_est, povm1, n_qubits, n_shots, n_points,
             method, dst, max_iter, physical, init,
         )
-    n_calls = -(-n_points // chunk)
-    keys = jax.random.split(key, n_calls)
     tracing = any(
         isinstance(x, jax.core.Tracer)
         for x in (key, bloch_est, povm1, n_shots)
     )
-    if tracing:
-        # lax.map over equal-sized chunks: same memory bound, trace-safe.
-        # The tail chunk over-draws (chunk instead of the remainder) and the
-        # surplus iid resamples are sliced off.
-        def body(k):
+
+    def streamed(k, n_chunks):
+        # lax.map over equal-sized chunks: same memory bound as one chunk,
+        # no host dispatch between chunks. Surplus tail resamples are iid
+        # and sliced off by the caller.
+        def body(kc):
             return _kron_bootstrap_fused(
-                k, bloch_est, povm1, n_qubits, n_shots, chunk,
+                kc, bloch_est, povm1, n_qubits, n_shots, chunk,
                 method, dst, max_iter, physical, init,
             )
 
-        parts = jax.lax.map(body, keys)
-        return parts.reshape(-1)[:n_points]
+        return jax.lax.map(body, jax.random.split(k, n_chunks)).reshape(-1)
+
+    n_calls = -(-n_points // chunk)
+    if tracing:
+        return streamed(key, n_calls)[:n_points]
+    # eager: split the streamed program into super-chunks so one device
+    # execution stays under the runtime's kill window (~16 resamples per
+    # call at the 9-10 qubit scale where streaming engages)
+    calls_cap = max(1, 16 // chunk)
+    keys = jax.random.split(key, -(-n_calls // calls_cap))
     parts = []
-    done = 0
+    done_chunks = 0
     for k in keys:
-        m = min(chunk, n_points - done)
-        parts.append(
-            _np.asarray(
-                _kron_bootstrap_fused(
-                    k, bloch_est, povm1, n_qubits, n_shots, m,
-                    method, dst, max_iter, physical, init,
-                )
-            )
-        )
-        done += m
-    return jnp.asarray(_np.concatenate(parts))
+        m = min(calls_cap, n_calls - done_chunks)
+        parts.append(_np.asarray(streamed(k, m)))
+        done_chunks += m
+    return jnp.asarray(_np.concatenate(parts)[:n_points])
 
 
 @functools.partial(

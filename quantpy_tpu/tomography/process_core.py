@@ -51,6 +51,9 @@ __all__ = [
     "kraus_param_to_choi_bloch_whitened",
     "kraus_design_whitener",
     "np_kraus_param_from_choi_bloch",
+    "np_kraus_anchor_pack",
+    "kraus_delta_choi_bloch",
+    "process_nll_anchored",
     "estimate_lifp",
     "estimate_pgdb",
     "estimate_pgdb_factored",
@@ -627,6 +630,239 @@ def np_kraus_param_from_choi_bloch(choi_bloch):
     w = np.sqrt(np.clip(w, 0.0, None))
     m = (v * w[..., None, :]) @ np.swapaxes(v.conj(), -1, -2)
     return np.stack([m.real, m.imag], axis=-3)
+
+
+def np_kraus_anchor_pack(z_ref, a_l=None, a_r=None):
+    """Host-f64 anchor constants for the ANCHORED EXACT-DELTA kraus decode.
+
+    Why this exists (round-3 verdict #1): the 4-qubit kraus-MALA chain is
+    precision-bound — after the round-3 fix chain the residual target
+    roughness is a deterministic +-2.5 f32 rounding field "through the
+    parametrization graph itself" (docs/benchmarks.md, session 4), against
+    a needed ~0.3 log-ratio fidelity at 4.1e7 counts. The field's origin:
+    every f32 quantity along the decode (M, G = MM^H, chol, X) carries
+    state-dependent rounding of RELATIVE size eps ~ 1.2e-7, and the
+    count-weighted NLL amplifies relative-eps errors of the FULL-SIZE
+    quantities to O(N_total * eps) ~ +-2.5.
+
+    The fix is algebraic, not double-float: re-express the decode so every
+    state-dependent intermediate is an exact function of the SMALL offset
+    dz = z - z_ref (products of small factors with O(1) constants), never
+    a difference of two full-size f32 results. Then all rounding scales
+    with the posterior-sized |dX| ~ 2.5e-2 |X| instead of |X|, cutting the
+    field by that factor. Constant (state-independent) rounding of the
+    anchor merely shifts the anchor point / tempers the target by O(eps) —
+    it is exactly cancelled in every MH ratio and cannot cause roughness.
+
+    The delta algebra (U0 = L_ref^{-1} (x) I, E' = (L^{-1}-L_ref^{-1}) (x) I):
+
+        dM    = A_L (Z - Z_ref) A_R                      (linear; Z - Z_ref
+                                                          exact by Sterbenz)
+        dG    = M_ref dM^H + dM M_ref^H + dM dM^H
+        drho  = Tr_out dG  (+ ridge delta)
+        A     = L_ref^{-1} drho L_ref^{-H}
+        L     = L_ref (I + S),  S + S^H + S S^H = A      (S = chol(I+A)-I by
+                                                          fixed-point iteration)
+        E     = -S (I+S)^{-1} L_ref^{-1}                  (no subtraction)
+        dX    = U dG U^H + E' C_ref + (E' C_ref)^H + E' G_ref E'^H
+                with U = L^{-1} (x) I, C_ref = G_ref (L_ref^{-H} (x) I)
+        dbloch = pauli(dX)                                (linear)
+
+    At dz = 0 every term is exactly zero, so target(z_ref) == 0 in f32.
+
+    Returns (pack, x_ref_bloch): `pack` is a dict of f32 device constants
+    consumed by :func:`kraus_delta_choi_bloch` /
+    :func:`process_nll_anchored`; `x_ref_bloch` is the f64 anchor Choi
+    bloch (compute p_ref from it in f64). `z_ref`: complex (D, D) whitened
+    anchor; `a_l`/`a_r`: the whitening matrices (None = identity).
+    """
+    from ..ops.cplx import to_pair
+    from ..ops.paulis import np_matrix_to_bloch
+
+    z_ref = np.asarray(z_ref, dtype=np.complex128)
+    d = z_ref.shape[-1]
+    d_in = int(round(math.sqrt(d)))
+    a_l = np.eye(d, dtype=np.complex128) if a_l is None else np.asarray(
+        a_l, dtype=np.complex128
+    )
+    a_r = np.eye(d, dtype=np.complex128) if a_r is None else np.asarray(
+        a_r, dtype=np.complex128
+    )
+    m_ref = a_l @ z_ref @ a_r
+    g_ref = m_ref @ m_ref.conj().T
+    g4 = g_ref.reshape(d_in, d_in, d_in, d_in)
+    rho = np.einsum("ibjb->ij", g4)
+    tr = float(np.trace(rho).real)
+    lam = 1e-9 * tr / d_in + 1e-30
+    l_ref = np.linalg.cholesky(rho + lam * np.eye(d_in))
+    l_ref_inv = np.linalg.solve(l_ref, np.eye(d_in))
+    # X_ref = (L^{-1} (x) I) G (L^{-H} (x) I) via the row-factor reshape
+    t = (l_ref_inv @ g_ref.reshape(d_in, d_in * d)).reshape(d, d)
+    x_ref = (l_ref_inv @ t.conj().T.reshape(d_in, d_in * d)).reshape(d, d)
+    x_ref = x_ref.conj().T
+    c_ref = (l_ref_inv @ g_ref.conj().T.reshape(d_in, d_in * d)).reshape(d, d)
+    c_ref = c_ref.conj().T  # G_ref (L_ref^{-H} (x) I)
+    x_ref_bloch = np_matrix_to_bloch(x_ref)
+    pack = {
+        "a_l": to_pair(a_l),
+        "a_r": to_pair(a_r),
+        "m_ref": to_pair(m_ref),
+        "g_ref": to_pair(g_ref),
+        "c_ref": to_pair(c_ref),
+        "l_ref_inv": to_pair(l_ref_inv),
+        "z_ref": to_pair(z_ref),
+    }
+    return pack, x_ref_bloch
+
+
+def _apply_left_factor(mat, y, d_in):
+    """(mat (x) I) y for y (..., D, D), mat (d_in, d_in), D = d_in * d_out:
+    contract mat over the FIRST row-index factor (the Choi input space)."""
+    d = y.shape[-1]
+    rows = y.reshape(y.shape[:-2] + (d_in, (d // d_in) * d))
+    return (mat @ rows).reshape(y.shape)
+
+
+def kraus_delta_choi_bloch(dz_pair, pack, s_iters: int = 12):
+    """Anchored exact-delta decode: Choi-bloch OFFSET from the anchor as an
+    exact-in-small-quantities function of the whitened chain offset.
+
+    `dz_pair`: real (..., 2, D, D) re/im pair of Z - Z_ref (subtract the
+    chain state and z_ref OUTSIDE — nearby f32 subtraction is exact);
+    `pack`: constants from :func:`np_kraus_anchor_pack`. Returns
+    dbloch (..., D^2) with X = X_ref + dX; fully differentiable (the
+    chol(I+A) factor is a fixed `s_iters`-step contraction S <- Phi(A - S S^H),
+    quadratic error ~|A|^(s_iters+1), and posterior-scale |A| << 1).
+    See the pack docstring for the algebra and the accuracy argument.
+    """
+    from ..ops.cplx import pair_to_complex
+
+    dz_pair = jnp.asarray(dz_pair, dtype=rdtype())
+    dz = jax.lax.complex(dz_pair[..., 0, :, :], dz_pair[..., 1, :, :])
+    a_l = pair_to_complex(pack["a_l"])
+    a_r = pair_to_complex(pack["a_r"])
+    m_ref = pair_to_complex(pack["m_ref"])
+    g_ref = pair_to_complex(pack["g_ref"])
+    c_ref = pair_to_complex(pack["c_ref"])
+    l_ref_inv = pair_to_complex(pack["l_ref_inv"])
+    d = dz.shape[-1]
+    d_in = l_ref_inv.shape[-1]
+
+    dm = a_l @ dz @ a_r
+    dmh = jnp.swapaxes(dm.conj(), -1, -2)
+    dg = m_ref @ dmh + dm @ jnp.swapaxes(m_ref.conj(), -1, -2) + dm @ dmh
+    g4 = dg.reshape(dg.shape[:-2] + (d_in, d_in, d_in, d_in))
+    drho = jnp.einsum("...ibjb->...ij", g4)
+    # ridge delta: the plain decode's ridge is 1e-9 * tr(rho)/d_in
+    dtr = jnp.trace(drho, axis1=-2, axis2=-1).real
+    eye = jnp.eye(d_in, dtype=drho.dtype)
+    drho = drho + (1e-9 * dtr / d_in)[..., None, None].astype(drho.dtype) * eye
+    a = l_ref_inv @ drho @ jnp.swapaxes(l_ref_inv.conj(), -1, -2)
+
+    def phi(h):
+        return jnp.tril(h, -1) + 0.5 * eye * h
+
+    # the fixed-point iteration contracts only for small ||A|| (the
+    # posterior-bulk regime where its cancellation-free form matters);
+    # for large excursions fall back to the direct chol(I+A) - I, whose
+    # subtraction error eps*|L| is harmless relative to the then-large |S|.
+    # I + A = L_ref^{-1} rho_tilde L_ref^{-H} is PD by construction, so the
+    # chol branch is always defined. Each branch runs on a ZEROED stand-in
+    # where unselected (chol(I) - I = 0; iteration at 0 stays 0) so neither
+    # a diverging iteration nor its cotangent can leak NaNs through where.
+    anorm = jnp.max(jnp.abs(a), axis=(-2, -1))[..., None, None]
+    small = anorm < 0.25
+    a_h = 0.5 * (a + jnp.swapaxes(a.conj(), -1, -2))
+    a_it = jnp.where(small, a_h, jnp.zeros_like(a_h))
+    a_ch = jnp.where(small, jnp.zeros_like(a_h), a_h)
+
+    def body(s, _):
+        return phi(a_it - s @ jnp.swapaxes(s.conj(), -1, -2)), None
+
+    s_it, _ = jax.lax.scan(body, phi(a_it), None, length=s_iters)
+    s_ch = jnp.linalg.cholesky(eye + a_ch) - eye
+    s = jnp.where(small, s_it, s_ch)
+    # L^{-1} = (I+S)^{-1} L_ref^{-1}; E = L^{-1} - L_ref^{-1} = -S (I+S)^{-1} L_ref^{-1}
+    l_inv = jax.scipy.linalg.solve_triangular(eye + s,
+        jnp.broadcast_to(l_ref_inv, s.shape[:-2] + l_ref_inv.shape), lower=True)
+    e = -(s @ l_inv)
+    # dX = U dG U^H + E' C_ref + (E' C_ref)^H + E' G_ref E'^H
+    t1 = _apply_left_factor(l_inv, dg, d_in)
+    t1 = _apply_left_factor(l_inv, jnp.swapaxes(t1.conj(), -1, -2), d_in)
+    t1 = jnp.swapaxes(t1.conj(), -1, -2)
+    t2 = _apply_left_factor(e, jnp.broadcast_to(c_ref, dz.shape), d_in)
+    t4 = _apply_left_factor(e, jnp.broadcast_to(g_ref, dz.shape), d_in)
+    t4 = _apply_left_factor(e, jnp.swapaxes(t4.conj(), -1, -2), d_in)
+    t4 = jnp.swapaxes(t4.conj(), -1, -2)
+    dx = t1 + t2 + jnp.swapaxes(t2.conj(), -1, -2) + t4
+    return matrix_to_bloch(dx)
+
+
+def _two_sum(a, b):
+    """Knuth error-free transformation: a + b = s + err exactly (6 flops,
+    branch-free; valid for any a, b)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def sum2f(x, lo=None):
+    """Two-float (compensated) pairwise-tree sum over the LAST axis.
+
+    Each tree level combines pairs with TwoSum and accumulates the exact
+    per-pair rounding errors into a running low part — the result carries
+    ~2x f32 mantissa accuracy at log2(N) vectorized levels (no scan, no
+    MXU). Exists for the count-amplified NLL reductions where a plain f32
+    sum's error eps * (partial magnitudes) lands above the MH log-ratio
+    budget (measured on chip, docs/benchmarks.md round 4)."""
+    if lo is None:
+        lo = jnp.zeros_like(x)
+    n = x.shape[-1]
+    m = 1 << (n - 1).bit_length()
+    if m != n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
+        x = jnp.pad(x, pad)
+        lo = jnp.pad(lo, pad)
+    while x.shape[-1] > 1:
+        s, e = _two_sum(x[..., 0::2], x[..., 1::2])
+        lo = lo[..., 0::2] + lo[..., 1::2] + e
+        x = s
+    return x[..., 0] + lo[..., 0]
+
+
+def _rel_nll_from_dp(dp, unnorm_counts, p_ref):
+    """-sum n log1p(dp / p_ref): the shared reduction of the anchored and
+    rel-form NLLs, compensated (see :func:`sum2f`)."""
+    ratio = jnp.maximum(dp / jnp.maximum(p_ref, _CP_EPS), -1.0 + 1e-7)
+    return -sum2f(unnorm_counts * jnp.log1p(ratio))
+
+
+def process_nll_anchored(
+    dz_flat, input_blochs_t, w_flat, unnorm_counts, pack, p_ref,
+    s_iters: int = 12,
+):
+    """Anchored delta-form process NLL for kraus chains: NLL(X(z)) -
+    NLL(X_ref) evaluated WITHOUT ever forming the full-size X in f32.
+
+    dp = D * b dXmat w runs on the exact-delta dXmat from
+    :func:`kraus_delta_choi_bloch`, so the bilinear form's operands are
+    posterior-sized — its f32 rounding scales with |dX|, not |X| (the
+    round-3 rel form still subtracted full-size decodes, docstring of
+    :func:`process_nll_factored_rel`). `dz_flat`: (..., 2*D*D) flattened
+    re/im offset Z - Z_ref."""
+    b = jnp.asarray(input_blochs_t, dtype=rdtype())
+    w = jnp.asarray(w_flat, dtype=rdtype())
+    d1 = b.shape[-1]
+    dz_flat = jnp.asarray(dz_flat, dtype=rdtype())
+    d = int(round(math.sqrt(dz_flat.shape[-1] // 2)))
+    dbloch = kraus_delta_choi_bloch(
+        dz_flat.reshape(dz_flat.shape[:-1] + (2, d, d)), pack, s_iters
+    )
+    dm = dbloch.reshape(dbloch.shape[:-1] + (d1, d1))
+    dp = d1 * jnp.einsum("sa,...ab,kb->...sk", b, dm, w)
+    dp = dp.reshape(dbloch.shape[:-1] + (-1,))
+    return _rel_nll_from_dp(dp, unnorm_counts, p_ref)
 
 
 def cptp_project_bloch_host(

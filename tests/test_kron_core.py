@@ -28,6 +28,31 @@ def test_kron_probs_match_dense(problem):
     np.testing.assert_allclose(kron, dense, atol=1e-10)
 
 
+def test_chunked_chain_matches_fused(problem, monkeypatch):
+    """The m-block-chunked grouped chains (the 11-qubit enabler, VERDICT
+    r3 #2) compute the same forward/adjoint as the fused einsum — forced
+    here by dropping the volume threshold to 0."""
+    n, tmg, counts, povm1 = problem
+    bloch = np.stack([tmg.state.bloch, np.asarray(tmg.state.bloch) * 0.5])
+    fused_p = np.asarray(kron_core.kron_probs(povm1, n, bloch))
+    fused_f = np.asarray(kron_core.kron_forward_flat(povm1, n, bloch))
+    c = counts[:2].astype(np.float64)
+    fused_a = np.asarray(kron_core.kron_apply_adjoint(povm1, n, c))
+    monkeypatch.setattr(kron_core, "CHUNKED_CHAIN_VOLUME", 0)
+    np.testing.assert_allclose(
+        np.asarray(kron_core.kron_probs(povm1, n, bloch)), fused_p, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(kron_core.kron_forward_flat(povm1, n, bloch)),
+        fused_f,
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(kron_core.kron_apply_adjoint(povm1, n, c)), fused_a,
+        atol=1e-10,
+    )
+
+
 def test_kron_adjoint_matches_dense(problem):
     n, tmg, counts, povm1 = problem
     c = counts[0] / counts[0].sum()

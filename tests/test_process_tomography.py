@@ -522,6 +522,130 @@ def test_mhmc_process_kraus_parametrization(proposal):
     assert 0.3 * db[0] < d50 < 3.0 * db[0], (d50, db[0])
 
 
+def test_kraus_anchored_delta_decode_exact():
+    """The anchored exact-delta decode (VERDICT r4 #1) equals
+    full_decode(z_ref + dz) - full_decode(z_ref) in x64, at posterior-sized
+    AND large offsets (the large branch takes the chol fallback), batched,
+    and its NLL matches the rel form; gradients are finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from quantpy_tpu.ops.cplx import to_pair
+
+    rng = np.random.default_rng(0)
+    d, d_in = 16, 4
+    a = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    x = a @ a.conj().T
+    x = x / np.trace(x).real * d_in
+    w_, v_ = np.linalg.eigh(x)
+    m_ref = (v_ * np.sqrt(np.clip(w_, 0, None))) @ v_.conj().T
+    al = np.eye(d) + 0.1 * (rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d)))
+    ar = np.eye(d) + 0.1 * (rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d)))
+    z_ref = np.linalg.solve(al, m_ref) @ np.linalg.inv(ar)
+    pack, x_ref_bloch = process_core.np_kraus_anchor_pack(z_ref, al, ar)
+    for scale in (0.1, 1e-3, 1e-6):
+        dz = scale * (rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d)))
+        dbloch = np.asarray(
+            process_core.kraus_delta_choi_bloch(
+                np.stack([dz.real, dz.imag], 0), pack
+            )
+        )
+        z = z_ref + dz
+        full = np.asarray(
+            process_core.kraus_param_to_choi_bloch_whitened(
+                np.stack([z.real, z.imag], 0), to_pair(al), to_pair(ar)
+            )
+        )
+        direct = full - x_ref_bloch
+        np.testing.assert_allclose(
+            dbloch, direct, atol=1e-10 * max(np.abs(direct).max(), 1e-12) + 1e-13
+        )
+    # batched + NLL consistency + grad
+    dzb = 1e-2 * (rng.normal(size=(3, d, d)) + 1j * rng.normal(size=(3, d, d)))
+    out = np.asarray(
+        process_core.kraus_delta_choi_bloch(
+            np.stack([dzb.real, dzb.imag], 1), pack
+        )
+    )
+    assert out.shape == (3, d * d)
+    S, K = 5, 7
+    b = rng.normal(size=(S, d))
+    wf = rng.normal(size=(K, d))
+    counts = rng.integers(1, 100, size=S * K).astype(np.float64)
+    p_ref = np.abs(
+        d * np.einsum("sa,ab,kb->sk", b, x_ref_bloch.reshape(d, d), wf)
+    ).reshape(-1) + 0.5
+    dz = 1e-3 * (rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d)))
+    dz_flat = jnp.asarray(np.stack([dz.real, dz.imag], 0).reshape(-1))
+    nll = process_core.process_nll_anchored(
+        dz_flat, b, wf, counts, pack, jnp.asarray(p_ref)
+    )
+    dbl = np.asarray(
+        process_core.kraus_delta_choi_bloch(
+            np.stack([dz.real, dz.imag], 0), pack
+        )
+    )
+    dp = d * np.einsum("sa,ab,kb->sk", b, dbl.reshape(d, d), wf).reshape(-1)
+    manual = -np.sum(counts * np.log1p(np.maximum(dp / p_ref, -1 + 1e-7)))
+    assert abs(float(nll) - manual) < 1e-8 * max(abs(manual), 1.0)
+    # zero offset -> exactly zero target
+    assert float(
+        process_core.process_nll_anchored(
+            jnp.zeros(2 * d * d), b, wf, counts, pack, jnp.asarray(p_ref)
+        )
+    ) == 0.0
+    g = jax.grad(
+        lambda zz: process_core.process_nll_anchored(
+            zz, b, wf, counts, pack, jnp.asarray(p_ref)
+        )
+    )(dz_flat)
+    assert bool(np.isfinite(np.asarray(g)).all())
+
+
+def test_sum2f_compensated_reduction():
+    """Two-float pairwise-tree sum: near-exact on the canonical Kahan case
+    where the plain f32 sum loses every tiny term, batched, padded, and
+    with unit gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.full(100001, 1e-8, np.float32)
+    x[0] = 1.0
+    ref = 1.0 + 1e-8 * 100000
+    plain = float(jnp.sum(jnp.asarray(x, jnp.float32)))
+    comp = float(process_core.sum2f(jnp.asarray(x, jnp.float32)))
+    assert abs(comp - ref) < 0.05 * abs(plain - ref)
+    assert abs(comp - ref) < 1e-7
+    # batched odd-length
+    y = np.arange(15, dtype=np.float32).reshape(3, 5)
+    np.testing.assert_allclose(
+        np.asarray(process_core.sum2f(jnp.asarray(y))), y.sum(-1), rtol=0
+    )
+    g = jax.grad(lambda v: process_core.sum2f(v))(jnp.ones(10, jnp.float32))
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_mhmc_kraus_anchored_matches_plain():
+    """anchored=True (default) and anchored=False sample the same law —
+    the anchored target is the same function re-expressed around a
+    host-f64 anchor; in x64 both chains' medians agree."""
+    import jax
+
+    tmg = ProcessTomograph(depolarizing(0.2, 1), key=3)
+    tmg.experiment(1000, "proj-set")
+    tmg.point_estimate("lifp")
+    meds = []
+    for anchored in (True, False):
+        iv = qt.MHMCProcessInterval(
+            tmg, n_points=300, burn_steps=400, step=0.05,
+            parametrization="kraus", proposal="mala", adapt_step=True,
+            n_chains=2, key=13, anchored=anchored,
+        )
+        d, _ = iv(np.array([0.5]))
+        meds.append(float(np.median(np.asarray(iv.cl_to_dist(np.linspace(0.1, 0.9, 9))))))
+    assert abs(meds[0] - meds[1]) < 0.5 * max(meds)
+
+
 def test_kraus_whitened_decode_consistent():
     """Whitened-coordinate decode equals the plain kraus map of
     M = A_L Z A_R (the whitener is a reparametrization, not a new model),
