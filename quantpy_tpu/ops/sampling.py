@@ -8,12 +8,38 @@ bootstrap's worth of experiments is drawn in one jitted call.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import rdtype
 
 __all__ = ["sample_multinomial"]
+
+#: probs volume above which the binary splitter runs in BIT-REVERSED block
+#: order: the natural-order interleave (`stack([...], axis=-1)`) carries a
+#: trailing size-2 axis that (8,128) tiling pads 64x — XLA fuses it away at
+#: small volumes, but at the 10-qubit bootstrap scale it materializes as a
+#: copy (measured round 4: a 14.4 GB request for a 231 MB stack at
+#: (2, 59049, 256, 2), OOM on 16 GB HBM). Bit-reversed order appends the
+#: right halves with a lane-axis concatenate (pad-free) and restores
+#: natural outcome order with one static gather at the end. The two orders
+#: draw DIFFERENT (equally distributed) streams for the same key, so the
+#: switch is gated: everything at or below the measured-good flagship /
+#: <=9-qubit bootstrap volumes keeps the round-3 stream bit-identical.
+_BITREV_SPLIT_VOLUME = 1 << 26
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_perm(bits: int):
+    """Bit-reversal permutation of 2**bits indices (static, an involution)."""
+    idx = np.arange(1 << bits)
+    rev = np.zeros(1 << bits, dtype=np.int32)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1).astype(np.int32) << (bits - 1 - b)
+    return rev
 
 
 def _multinomial_binary_split(key, n_trials, probs):
@@ -40,21 +66,26 @@ def _multinomial_binary_split(key, n_trials, probs):
     batch_shape = probs.shape[:-1]
     counts = jnp.asarray(n_trials, dtype=rdtype()).reshape(batch_shape + (1,))
     levels = m_pad.bit_length() - 1
+    bitrev = probs.size > _BITREV_SPLIT_VOLUME
     # block probability masses per level, coarsest first
     block_sums = [probs]
     for _ in range(levels):
-        block_sums.append(
-            block_sums[-1].reshape(batch_shape + (-1, 2)).sum(-1)
-        )
+        prev = block_sums[-1]
+        block_sums.append(prev[..., 0::2] + prev[..., 1::2])
     block_sums.reverse()  # block_sums[k] has 2^k blocks
     for level in range(levels):
         key, sub = jax.random.split(key)
-        pair = block_sums[level + 1].reshape(batch_shape + (-1, 2))
-        total = pair.sum(-1)
-        ratio = jnp.where(total > 0, pair[..., 0] / jnp.where(total > 0, total, 1.0), 0.0)
+        total = block_sums[level]
+        lmass = block_sums[level + 1][..., 0::2]
+        ratio = jnp.where(total > 0, lmass / jnp.where(total > 0, total, 1.0), 0.0)
         # f32 rounding can push the ratio one ulp past 1 (measured on TPU:
         # ratio 1.0000001 -> binomial returns NaN); clamp to the valid range
         ratio = jnp.clip(ratio, 0.0, 1.0)
+        if bitrev and level > 1:
+            # counts are held in bit-reversed block order (see below);
+            # permute the natural-order ratios to match (rev_k is an
+            # involution; rev_0/rev_1 are identity)
+            ratio = jnp.take(ratio, jnp.asarray(_bitrev_perm(level)), axis=-1)
         # jax.random.binomial sequentializes over a SMALL leading axis
         # when the per-element trailing volume is large (measured on this
         # backend: (8, 4194304) 9.0 s vs (256, 262144) — 8x the elements —
@@ -81,9 +112,17 @@ def _multinomial_binary_split(key, n_trials, probs):
             ).reshape(counts.shape)
         else:
             left = jax.random.binomial(sub, counts, ratio)
-        counts = jnp.stack([left, counts - left], axis=-1).reshape(
-            batch_shape + (-1,)
-        )
+        if bitrev:
+            # pad-free growth: appending the right halves on the lane axis
+            # keeps blocks in bit-reversed order (index s*2^k + b at level
+            # k+1 is natural block 2*rev_k(b) + s = rev_{k+1} of itself)
+            counts = jnp.concatenate([left, counts - left], axis=-1)
+        else:
+            counts = jnp.stack([left, counts - left], axis=-1).reshape(
+                batch_shape + (-1,)
+            )
+    if bitrev:
+        counts = jnp.take(counts, jnp.asarray(_bitrev_perm(levels)), axis=-1)
     return counts[..., :m]
 
 

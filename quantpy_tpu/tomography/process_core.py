@@ -35,6 +35,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import rdtype
+from ..ops.df32 import (  # re-exported: tests/docs cite sum2f here
+    df_div_ff as _df_div_ff,
+    df_log1p_f as _df_log1p_f,
+    sum2f,
+    two_prod as _two_prod,
+    two_sum as _two_sum,
+)
 from ..ops.paulis import bloch_to_matrix, matrix_to_bloch
 from . import state_core
 
@@ -798,44 +805,29 @@ def kraus_delta_choi_bloch(dz_pair, pack, s_iters: int = 12):
     return matrix_to_bloch(dx)
 
 
-def _two_sum(a, b):
-    """Knuth error-free transformation: a + b = s + err exactly (6 flops,
-    branch-free; valid for any a, b)."""
-    s = a + b
-    bb = s - a
-    err = (a - (s - bb)) + (b - bb)
-    return s, err
-
-
-def sum2f(x, lo=None):
-    """Two-float (compensated) pairwise-tree sum over the LAST axis.
-
-    Each tree level combines pairs with TwoSum and accumulates the exact
-    per-pair rounding errors into a running low part — the result carries
-    ~2x f32 mantissa accuracy at log2(N) vectorized levels (no scan, no
-    MXU). Exists for the count-amplified NLL reductions where a plain f32
-    sum's error eps * (partial magnitudes) lands above the MH log-ratio
-    budget (measured on chip, docs/benchmarks.md round 4)."""
-    if lo is None:
-        lo = jnp.zeros_like(x)
-    n = x.shape[-1]
-    m = 1 << (n - 1).bit_length()
-    if m != n:
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
-        x = jnp.pad(x, pad)
-        lo = jnp.pad(lo, pad)
-    while x.shape[-1] > 1:
-        s, e = _two_sum(x[..., 0::2], x[..., 1::2])
-        lo = lo[..., 0::2] + lo[..., 1::2] + e
-        x = s
-    return x[..., 0] + lo[..., 0]
-
-
 def _rel_nll_from_dp(dp, unnorm_counts, p_ref):
     """-sum n log1p(dp / p_ref): the shared reduction of the anchored and
-    rel-form NLLs, compensated (see :func:`sum2f`)."""
-    ratio = jnp.maximum(dp / jnp.maximum(p_ref, _CP_EPS), -1.0 + 1e-7)
-    return -sum2f(unnorm_counts * jnp.log1p(ratio))
+    rel-form NLLs, evaluated in DOUBLE-FLOAT elementwise arithmetic
+    (ops/df32.py) with a compensated pairwise tree sum.
+
+    Compensated summation alone is NOT enough on the TPU: the VPU's f32
+    `divide` and `log1p` are a few ulp off (CPU f32 runs them through f64
+    libm), and that per-element error amplifies to
+    eps_op * sum|n log1p| ~ +-3.6 on the 4q anchored config — measured
+    round 4 on chip with sum2f already in place (docs/benchmarks.md).
+    Double-float division + log1p carry ~2^-48 relative per element,
+    dropping the field under the ~0.3 MH log-ratio budget."""
+    r_hi, r_lo = _df_div_ff(dp, jnp.maximum(p_ref, _CP_EPS))
+    lim = jnp.asarray(-1.0 + 1e-7, dtype=r_hi.dtype)
+    clamped = r_hi < lim
+    r_hi = jnp.where(clamped, lim, r_hi)
+    r_lo = jnp.where(clamped, 0.0, r_lo)
+    l_hi, l_lo = _df_log1p_f(r_hi)
+    # fold the ratio's low part through d/dr log1p = 1/(1+r)
+    l_lo = l_lo + r_lo / (1.0 + r_hi)
+    t_hi, t_err = _two_prod(unnorm_counts, l_hi)
+    t_lo = unnorm_counts * l_lo + t_err
+    return -sum2f(t_hi, t_lo)
 
 
 def process_nll_anchored(

@@ -249,3 +249,43 @@ def test_kron_all_and_ptm_cap(rng):
     np.testing.assert_allclose(np.asarray(kron_all([a, b])), np.kron(a, b), atol=1e-12)
     with _pytest.raises(ValueError):
         pauli_transfer_matrix(9)
+
+
+def test_multinomial_bitrev_split_matches_natural(rng):
+    """The pad-free bit-reversed splitter (engaged above
+    _BITREV_SPLIT_VOLUME — the 10-qubit bootstrap OOM fix) draws the same
+    distribution as the natural-order splitter: exact totals, support,
+    and mean agreement over repeated draws."""
+    import jax
+
+    from quantpy_tpu.ops import sampling
+
+    probs = rng.dirichlet(np.ones(12), size=(5, 7)).astype(np.float32)
+    key = jax.random.key(0)
+    nat = np.asarray(sampling.sample_multinomial(key, 1000.0, probs))
+    old = sampling._BITREV_SPLIT_VOLUME
+    try:
+        sampling._BITREV_SPLIT_VOLUME = 0  # force the bit-reversed path
+        rev = np.asarray(sampling.sample_multinomial(key, 1000.0, probs))
+        keys = jax.random.split(jax.random.key(1), 300)
+        draws = np.asarray(
+            jax.vmap(
+                lambda k: sampling.sample_multinomial(k, 1000.0, probs[0, 0])
+            )(keys)
+        )
+    finally:
+        sampling._BITREV_SPLIT_VOLUME = old
+    assert nat.shape == rev.shape == (5, 7, 12)
+    assert np.all(nat.sum(-1) == 1000) and np.all(rev.sum(-1) == 1000)
+    assert np.all(rev >= 0)
+    emp = draws.mean(0) / 1000.0
+    assert np.abs(emp - probs[0, 0]).max() < 0.01
+    # zero-probability outcomes never receive counts on either path
+    pz = np.zeros(8, np.float32)
+    pz[[1, 6]] = 0.5
+    try:
+        sampling._BITREV_SPLIT_VOLUME = 0
+        zc = np.asarray(sampling.sample_multinomial(jax.random.key(2), 50.0, pz))
+    finally:
+        sampling._BITREV_SPLIT_VOLUME = old
+    assert zc.sum() == 50 and zc[[0, 2, 3, 4, 5, 7]].sum() == 0
