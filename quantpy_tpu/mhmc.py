@@ -98,10 +98,96 @@ _JUMP_DISTRS = {
 }
 
 
+#: scipy frozen-distribution families the adapter maps onto jax samplers:
+#: name -> (sampler(key, shape, dtype, *shape_args),
+#:          standardized logpdf(z, *shape_args)).
+_SCIPY_FAMILIES = {
+    "norm": (
+        lambda key, shape, dtype: jax.random.normal(key, shape, dtype),
+        lambda z: -0.5 * z**2 - 0.5 * jnp.log(2 * jnp.pi),
+    ),
+    "laplace": (
+        lambda key, shape, dtype: jax.random.laplace(key, shape, dtype),
+        lambda z: -jnp.abs(z) - jnp.log(2.0),
+    ),
+    "cauchy": (
+        lambda key, shape, dtype: jax.random.cauchy(key, shape, dtype),
+        lambda z: -jnp.log(jnp.pi * (1.0 + z**2)),
+    ),
+    "logistic": (
+        lambda key, shape, dtype: jax.random.logistic(key, shape, dtype),
+        lambda z: -z - 2.0 * jnp.log1p(jnp.exp(-z)),
+    ),
+    "t": (
+        lambda key, shape, dtype, df: jax.random.t(key, df, shape, dtype),
+        lambda z, df: (
+            jax.scipy.special.gammaln((df + 1) / 2)
+            - jax.scipy.special.gammaln(df / 2)
+            - 0.5 * jnp.log(df * jnp.pi)
+            - (df + 1) / 2 * jnp.log1p(z**2 / df)
+        ),
+    ),
+}
+
+
+def from_scipy_frozen(frozen):
+    """Adapt a scipy frozen distribution to a device chain: returns
+    (sampler(key, shape, dtype), jump_logpdf(delta) -> scalar, symmetric).
+
+    The reference's MHMC takes any scipy rv with .rvs/.pdf and calls them
+    on the host per step (quantpy/mhmc.py:41, :99-103); a lax.scan chain
+    needs jax-traceable equivalents, so the common frozen families
+    (norm/uniform/laplace/cauchy/logistic/t, any loc/scale) are translated
+    here — sampling AND the Hastings density, with `symmetric` derived
+    from the parameters so asymmetric proposals are corrected exactly like
+    the reference's pdf(-delta)/pdf(delta) branch. Unsupported families
+    raise with the traceable-callable escape hatch."""
+    name = getattr(getattr(frozen, "dist", None), "name", None)
+    shapes, loc_, scale_ = frozen.dist._parse_args(*frozen.args, **frozen.kwds)
+    shape_args = tuple(float(a) for a in shapes)
+    loc, scale = float(loc_), float(scale_)
+    if name == "uniform":
+        lo, hi = loc, loc + scale
+
+        def sampler(key, shape, dtype):
+            return jax.random.uniform(key, shape, dtype, minval=lo, maxval=hi)
+
+        def jump_logpdf(delta):
+            inside = jnp.all((delta >= lo) & (delta <= hi))
+            return jnp.where(
+                inside, -delta.size * jnp.log(scale), -jnp.inf
+            )
+
+        return sampler, jump_logpdf, bool(abs(lo + hi) < 1e-12 * abs(scale))
+    if name not in _SCIPY_FAMILIES:
+        raise NotImplementedError(
+            f"scipy frozen family {name!r} has no jax adapter; supported: "
+            f"{sorted(_SCIPY_FAMILIES) + ['uniform']}. Pass a jax-traceable "
+            "callable(key, shape, dtype) (+ jump_logpdf if asymmetric) "
+            "instead."
+        )
+    base_sample, base_logpdf = _SCIPY_FAMILIES[name]
+
+    def sampler(key, shape, dtype):
+        return loc + scale * base_sample(key, shape, dtype, *shape_args)
+
+    def jump_logpdf(delta):
+        z = (delta - loc) / scale
+        return jnp.sum(base_logpdf(z, *shape_args)) - delta.size * jnp.log(
+            scale
+        )
+
+    return sampler, jump_logpdf, loc == 0.0
+
+
+def _is_scipy_frozen(obj) -> bool:
+    return hasattr(obj, "dist") and hasattr(obj, "rvs") and hasattr(obj, "kwds")
+
+
 def resolve_jump_distr(jump_distr):
-    """Map a proposal spec (None / name / callable) to a sampler callable,
-    with the shared validation message (used by MHMC and the mesh-sharded
-    chain helpers)."""
+    """Map a proposal spec (None / name / scipy frozen / callable) to a
+    sampler callable, with the shared validation message (used by MHMC and
+    the mesh-sharded chain helpers)."""
     if jump_distr is None:
         return _JUMP_DISTRS["normal"]
     if isinstance(jump_distr, str):
@@ -111,12 +197,14 @@ def resolve_jump_distr(jump_distr):
                 f"{sorted(_JUMP_DISTRS)} or a callable(key, shape, dtype)"
             )
         return _JUMP_DISTRS[jump_distr]
+    if _is_scipy_frozen(jump_distr):
+        return from_scipy_frozen(jump_distr)[0]
     if callable(jump_distr):
         return jump_distr
     raise NotImplementedError(
-        "jump_distr must be None, a name, or a jax-traceable "
-        "callable(key, shape, dtype) (scipy frozen distributions "
-        "cannot run inside the device chain)"
+        "jump_distr must be None, a name, a scipy frozen distribution "
+        "(adapted via from_scipy_frozen), or a jax-traceable "
+        "callable(key, shape, dtype)"
     )
 
 
@@ -271,13 +359,16 @@ class MHMC:
     Parameters (matching reference mhmc.py:30-48)
     ----------
     target_logpdf : callable(x) -> scalar, jax-traceable
-    jump_distr : None, str, or callable — proposal sampler. None = isotropic
-        normal (the reference default). A name from
-        {'normal', 'uniform', 'laplace', 'cauchy'} or any jax-traceable
-        callable(key, shape, dtype) -> delta. The reference takes scipy
-        frozen distributions (mhmc.py:30-48), whose host-side .rvs cannot
-        run inside a device chain — documented divergence. Proposals must
-        be SYMMETRIC (no Hastings correction is applied).
+    jump_distr : None, str, scipy frozen distribution, or callable —
+        proposal sampler. None = isotropic normal (the reference default).
+        A name from {'normal', 'uniform', 'laplace', 'cauchy'}, a scipy
+        FROZEN distribution (norm/uniform/laplace/cauchy/logistic/t with
+        any loc/scale — adapted to jax by `from_scipy_frozen`, with the
+        Hastings correction auto-enabled when the frozen proposal is
+        asymmetric, matching reference mhmc.py:30-48, :99-103), or any
+        jax-traceable callable(key, shape, dtype) -> delta. Callable
+        proposals are assumed SYMMETRIC unless symmetric=False +
+        jump_logpdf are passed.
     step : float — proposal scale
     burn_steps : int
     dim : int — state dimension
@@ -311,6 +402,16 @@ class MHMC:
         drift_fn=None,
         refresh_logp: bool = False,
     ):
+        if _is_scipy_frozen(jump_distr):
+            # scipy frozen proposal: adapt sampler + Hastings density; an
+            # asymmetric frozen (loc != 0) auto-enables the correction the
+            # reference applies via .pdf (quantpy/mhmc.py:99-103)
+            sampler, logq, sym = from_scipy_frozen(jump_distr)
+            jump_distr = sampler
+            if not sym:
+                symmetric = False
+                if jump_logpdf is None:
+                    jump_logpdf = logq
         self.jump_fn = resolve_jump_distr(jump_distr)
         if not symmetric and jump_logpdf is None:
             raise ValueError(

@@ -178,7 +178,7 @@ def rhor_mle_pallas(freq, bloch0, w2, n_iter: int = 60, block_b: int = 128):
         out_specs=pl.BlockSpec((d2, block_b), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_iter * b_pad * (2 * k_pad * d2 + 6 * d2 * d2 + 8 * d**3),
+            flops=2 * n_iter * b_pad * (2 * k_pad * d2 + 6 * d2 * d2 + 6 * d**3),
             bytes_accessed=(b_pad * (k_pad + 2 * d2) + 2 * k_pad * d2
                             + 4 * d2 * d2) * 4,
             transcendentals=0,

@@ -138,6 +138,13 @@ class ConfidenceInterval(ABC):
         else:
             raise ValueError("Tomograph must expose `state` or `channel`")
         for name, value in kwargs.items():
+            if name == "key" and isinstance(value, (int, np.integer)):
+                # accept plain int seeds (the reference has no key concept —
+                # its RNG is the global NumPy state, interval.py:600-609 —
+                # so migrating users reasonably pass seeds here)
+                import jax
+
+                value = jax.random.key(value)
             setattr(self, name, value)
 
     def __call__(self, conf_levels=None):

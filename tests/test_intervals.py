@@ -911,3 +911,16 @@ def test_mhmc_process_mala_unpreconditioned(process_tmg, monkeypatch):
     d_raw, d_pre = np.asarray(d_raw), np.asarray(d_pre)
     assert np.all(np.isfinite(d_raw)) and np.all(np.isfinite(d_pre))
     assert abs(d_pre[1] - d_raw[1]) < 0.5 * max(float(d_raw[1]), 1e-3)
+
+
+def test_interval_accepts_int_seed(state_tmg):
+    """Plain int seeds coerce to PRNG keys in every interval (the
+    reference has no key concept — migrating users pass seeds)."""
+    import jax
+
+    iv = qt.BootstrapStateInterval(state_tmg, n_points=20, key=99)
+    d, _ = iv(np.array([0.5, 0.9]))
+    assert np.all(np.isfinite(np.asarray(d)))
+    iv2 = qt.BootstrapStateInterval(state_tmg, n_points=20, key=jax.random.key(99))
+    d2, _ = iv2(np.array([0.5, 0.9]))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d2))
