@@ -74,3 +74,22 @@ def test_calibrated_povm_completeness():
     np.testing.assert_allclose(
         povm.sum(axis=1), np.tile([1.0, 0, 0, 0], (3, 1)), atol=1e-12
     )
+
+
+def test_posterior_sampling_example_smoke():
+    """examples/posterior_sampling.py at a tiny budget: the anchored
+    kraus chain and the bootstrap land on the same scale, and the scipy
+    frozen proposal drives a state chain end-to-end."""
+    import warnings
+
+    import posterior_sampling  # noqa: E402
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # short-chain R-hat
+        cd, bd, r_hat, ess = posterior_sampling.process_posterior(
+            n_qubits=1, n_shots=500, n_points=80, burn_steps=200, n_boot=60
+        )
+    assert np.all(np.isfinite(cd)) and np.all(np.isfinite(bd))
+    assert cd[0] < 5 * bd[1] and bd[0] < 5 * max(cd[1], 1e-3)
+    d = posterior_sampling.scipy_proposal_state_chain()
+    assert np.all(np.isfinite(d)) and d.shape == (2,)
