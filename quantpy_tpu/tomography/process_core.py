@@ -730,6 +730,7 @@ def _apply_left_factor(mat, y, d_in):
     return (mat @ rows).reshape(y.shape)
 
 
+@functools.partial(jax.jit, static_argnames=("s_iters",))
 def kraus_delta_choi_bloch(dz_pair, pack, s_iters: int = 12):
     """Anchored exact-delta decode: Choi-bloch OFFSET from the anchor as an
     exact-in-small-quantities function of the whitened chain offset.
