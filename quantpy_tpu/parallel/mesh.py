@@ -608,6 +608,7 @@ def sharded_mhmc_kraus_chains(
     burn_steps: int = 100,
     thinning: int = 1,
     jump_distr=None,
+    u_scale=None,
 ):
     """ANCHORED kraus-factor process chains sharded over the mesh (lifts
     the round-3 vmap-only fence, VERDICT r3 #5): each device runs its
@@ -626,21 +627,30 @@ def sharded_mhmc_kraus_chains(
     scale = float(scale)
     pack_keys = sorted(pack)
     pack_vals = tuple(pack[k] for k in pack_keys)
+    has_uscale = u_scale is not None
+    extra = (jnp.asarray(u_scale, rdtype()),) if has_uscale else ()
 
     def make_fns(*arrs):
         pk = dict(zip(pack_keys, arrs[: len(pack_keys)]))
-        b_, w_, flat_, p_ = arrs[len(pack_keys):]
+        rest = arrs[len(pack_keys):]
+        if has_uscale:
+            b_, w_, flat_, p_, us_ = rest
+        else:
+            b_, w_, flat_, p_ = rest
+            us_ = None
 
         def logpdf(x):
+            xx = x * us_ if has_uscale else x
             return -scale * process_core.process_nll_anchored(
-                x, b_, w_, flat_, pk, p_
+                xx, b_, w_, flat_, pk, p_
             )
 
         return logpdf, basic_update
 
     return _sharded_chains(
         mesh, key, dz_init,
-        pack_vals + (input_blochs_t, w_flat, flat_counts, p_ref), make_fns,
+        pack_vals + (input_blochs_t, w_flat, flat_counts, p_ref) + extra,
+        make_fns,
         step, n_chains, n_samples, burn_steps, thinning, jump_distr,
     )
 

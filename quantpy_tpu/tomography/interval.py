@@ -1105,6 +1105,7 @@ class MHMCProcessInterval(ConfidenceInterval):
         parametrization: str = "bloch",
         mode_seek: int | None = None,
         anchored: bool = True,
+        curv_probes: int = 32,
     ):
         """`temper=False` (the default) samples exp(-NLL) with the
         raw-count NLL exactly like the reference (process.py:310-314) —
@@ -1155,7 +1156,17 @@ class MHMCProcessInterval(ConfidenceInterval):
         ~3 over a DNLL~300 line — the wall that froze 4q chains) drops to
         max 0.011 / rms 0.003, ~30x under the ~0.3 log-ratio budget of a
         4e7-count posterior. `anchored=False` restores the round-3
-        full-decode rel-form target."""
+        full-decode rel-form target.
+        `curv_probes` (anchored kraus mode; 0 disables) estimates the
+        diagonal of the target's Hessian AT THE ANCHOR with that many
+        Hutchinson HVP probes and runs the chain in the rescaled
+        coordinates u = dz * sqrt(diag H): the structured design whitener
+        leaves residual curvature anisotropy that otherwise sets the
+        stable step from the stiffest direction alone (measured 4q:
+        curvature ~2-4e6 along the gradient in 'unit-rms' whitened
+        coordinates while MALA acceptance was 0.00 already at step 1e-4,
+        and adaptation collapsed the step to 1.5e-7 where the chain
+        could not traverse the posterior within any feasible budget)."""
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
             thinning=thinning, warm_start=warm_start, method=method,
@@ -1167,7 +1178,7 @@ class MHMCProcessInterval(ConfidenceInterval):
             mesh=mesh, jump_logpdf=jump_logpdf, temper=temper,
             proposal=proposal, precondition=precondition,
             parametrization=parametrization, mode_seek=mode_seek,
-            anchored=anchored,
+            anchored=anchored, curv_probes=curv_probes,
         )
         if parametrization not in ("bloch", "kraus"):
             raise ValueError(
@@ -1343,6 +1354,51 @@ class MHMCProcessInterval(ConfidenceInterval):
                         )
                         pack, x_ref_b, p_ref_a, target = _make_anchor(z_ref)
                     self._kraus_anchor = (pack, x_ref_b)
+                    self._kraus_uscale = None
+                    if self.curv_probes:
+                        # measured-curvature diagonal rescale (see the
+                        # class docstring): Hutchinson diag-Hessian at the
+                        # anchor, chain runs in u = dz / s with
+                        # s = 1/sqrt(diag H) so unit coordinate curvature
+                        n_probe = int(self.curv_probes)
+                        zdim = 2 * d_choi * d_choi
+                        _neg = lambda dzf: -target(dzf)  # noqa: E731
+                        _gfun = jax.grad(_neg)
+                        _zero = jnp.zeros(zdim, rdtype())
+
+                        @jax.jit
+                        def _diag_est(k):
+                            def body(acc, kk):
+                                v = jax.random.rademacher(
+                                    kk, (zdim,), rdtype()
+                                )
+                                hv = jax.jvp(_gfun, (_zero,), (v,))[1]
+                                return acc + v * hv, None
+
+                            acc, _ = jax.lax.scan(
+                                body, _zero, jax.random.split(k, n_probe)
+                            )
+                            return acc / n_probe
+
+                        h_diag = np.asarray(
+                            _diag_est(jax.random.key(2024)), np.float64
+                        )
+                        pos = h_diag[h_diag > 0]
+                        med = float(np.median(pos)) if pos.size else 1.0
+                        # floor: Hutchinson off-diagonal noise makes some
+                        # entries ~0/negative (and exact-gauge directions
+                        # of M -> M U have zero curvature); cap the scale
+                        # amplification at 100x the median direction
+                        h_safe = np.clip(h_diag, 1e-4 * med, None)
+                        s_u = 1.0 / np.sqrt(h_safe)
+                        s_dev = jnp.asarray(s_u, rdtype())
+                        _anchored_target = target
+
+                        def _target_u(uf):
+                            return _anchored_target(uf * s_dev)
+
+                        target = _target_u
+                        self._kraus_uscale = s_u
                     # context for the mesh-sharded chain dispatch
                     self._kraus_sharded_ctx = (
                         pack, b_dev, w_dev, flat_dev, p_ref_a, scale
@@ -1625,6 +1681,7 @@ class MHMCProcessInterval(ConfidenceInterval):
                     burn_steps=self.burn_steps,
                     thinning=self.thinning,
                     jump_distr=self.jump_distr,
+                    u_scale=getattr(self, "_kraus_uscale", None),
                 )
                 chain_shape = samples.shape[:2]
                 samples = samples.reshape(-1, samples.shape[-1])
@@ -1679,9 +1736,11 @@ class MHMCProcessInterval(ConfidenceInterval):
 
             d_choi = self._decode_kraus
             whiten = getattr(self, "_kraus_whiten", None)
-            ys = np.asarray(samples, dtype=np.float64).reshape(
-                -1, 2, d_choi, d_choi
-            )
+            ys = np.asarray(samples, dtype=np.float64)
+            if getattr(self, "_kraus_uscale", None) is not None:
+                # curvature-rescaled chains live in u = dz / s; decode dz
+                ys = ys * self._kraus_uscale
+            ys = ys.reshape(-1, 2, d_choi, d_choi)
             chunk = max(1, (1 << 24) // (d_choi * d_choi))
             if getattr(self, "_kraus_anchor", None) is not None:
                 # anchored chains store offsets dz; decode as the f64
