@@ -31,3 +31,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jit_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles thousands of programs in one process; the
+    LLVM-JITted CPU executables each hold mmapped code pages, and past
+    ~215 tests the process crosses vm.max_map_count (65530 here) — the
+    next compilation segfaults inside XLA's backend_compile_and_load
+    (measured round 4: deterministic crash in test_parallel at the same
+    suite position, while every file-level subset passes alone). Clearing
+    between modules bounds the live-executable count; the recompiles cost
+    a few percent of suite runtime.
+    """
+    yield
+    jax.clear_caches()
