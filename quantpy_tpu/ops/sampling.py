@@ -23,13 +23,15 @@ __all__ = ["sample_multinomial"]
 #: trailing size-2 axis that (8,128) tiling pads 64x — XLA fuses it away at
 #: small volumes, but at the 10-qubit bootstrap scale it materializes as a
 #: copy (measured round 4: a 14.4 GB request for a 231 MB stack at
-#: (2, 59049, 256, 2), OOM on 16 GB HBM). Bit-reversed order appends the
-#: right halves with a lane-axis concatenate (pad-free) and restores
-#: natural outcome order with one static gather at the end. The two orders
-#: draw DIFFERENT (equally distributed) streams for the same key, so the
-#: switch is gated: everything at or below the measured-good flagship /
-#: <=9-qubit bootstrap volumes keeps the round-3 stream bit-identical.
-_BITREV_SPLIT_VOLUME = 1 << 26
+#: (2, 59049, 256, 2) = 60.5M probs, OOM on 16 GB HBM). Bit-reversed order
+#: appends the right halves with a lane-axis concatenate (pad-free) and
+#: restores natural outcome order with one static gather at the end. The
+#: two orders draw DIFFERENT (equally distributed) streams for the same
+#: key, so the switch is gated between the largest measured-good
+#: natural-order volume (9q B=4 bootstrap chunks: (4, 19683, 512) = 40.3M,
+#: 4.7 rec/s round 3) and the measured-OOM 60.5M — everything at or below
+#: the measured-good volumes keeps the round-3 stream bit-identical.
+_BITREV_SPLIT_VOLUME = 3 << 24
 
 
 @functools.lru_cache(maxsize=None)
