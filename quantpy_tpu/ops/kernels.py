@@ -210,7 +210,19 @@ def rhor_mle_pallas_flat(freq, bloch0, w2, n_iter: int = 60,
     Same contract and fixed point as :func:`rhor_mle_pallas`; per
     iteration it runs TWO large MXU matmuls (contraction 2D = 512 at the
     flagship size) instead of eight medium ones — ~20% fewer MXU mults
-    ((4 K D) vs (2 K D + 6 D^2) per element) and four fewer reshapes."""
+    ((4 K D) vs (2 K D + 6 D^2) per element) and four fewer reshapes.
+
+    Measured on the v5e flagship config (2026-08-20, 16384-resample
+    bootstrap batches, distances equal to the lane kernel within 4.1e-6):
+    75,820 rec/s vs the lane kernel's 83,412 — 9% SLOWER despite the
+    matmul savings. Verdict for the MFU question (docs/benchmarks.md):
+    the kernel is not MXU-bound; the VPU RrhoR sandwich (the 6 unrolled
+    d-term broadcast passes per iteration, shared by both variants)
+    dominates, and every layout that would make the d x d contraction an
+    MXU matmul puts the d=16 extent on the lane axis, which Mosaic pads
+    8x (measured VMEM OOM, module docstring #1). estimate_mle_rhor keeps
+    dispatching to the lane kernel; this variant stays as the measured
+    receipt."""
     freq = jnp.asarray(freq, jnp.float32)
     bloch0 = jnp.asarray(bloch0, jnp.float32)
     w2 = jnp.asarray(w2, jnp.float32)
