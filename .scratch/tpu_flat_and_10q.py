@@ -23,14 +23,12 @@ def main():
     from quantpy_tpu.tomography.bootstrap_core import bootstrap_distances
     from quantpy_tpu.tomography.state import StateTomograph
 
+    # single init attempt: the axon first op HANGS rather than fails on a
+    # bad tunnel day, and a failed op poisons the client, so in-process
+    # retries cannot succeed (ADVICE r4) — rerun the script in a fresh
+    # process under an outer timeout instead
     t0 = time.time()
-    for attempt in range(3):
-        try:
-            np.asarray(jnp.ones(8) * 2)
-            break
-        except Exception as e:
-            log(f"init attempt {attempt+1} failed: {e!r}")
-            time.sleep(20)
+    np.asarray(jnp.ones(8) * 2)
     log(f"init {time.time()-t0:.1f}s; devices {jax.devices()}")
 
     state = qt.GHZ(4)

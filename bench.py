@@ -37,6 +37,15 @@ REFERENCE_REC_PER_SEC = 1.0 / 18.0  # BASELINE.md: ~18 s per 4-qubit MLE
 # ~1/4 of peak is the conventional f32-effective ceiling.
 PEAK_BF16_TFLOPS = 197.0
 PEAK_F32_TFLOPS = PEAK_BF16_TFLOPS / 4
+# VPU element-op peak for the EXPOSED roofline (VERDICT r4 #6): the RrhoR
+# sandwich cannot run on the MXU in any Mosaic-compilable layout
+# (docs/benchmarks.md, flat-kernel experiment), so the hardware-exposed
+# minimum time for this op mix is MXU-matmul FLOPs at the f32-effective
+# matmul peak PLUS the sandwich's AS-IMPLEMENTED VPU element ops at VPU
+# issue rate. VPU rate assumes the (8, 128)-lane x 4-ALU vector unit at
+# the clock implied by the MXU spec (197e12 / (4 MXUs * 128*128 MACs *
+# 2 FLOP) ~ 1.5 GHz): 1024 lanes * 4 ALUs * 1.5e9 ~ 6.1e12 elem-ops/s.
+PEAK_VPU_ELEMOPS = 6.1e12
 
 
 def flops_per_resample(n_qubits: int, n_povms: int, n_outcomes: int,
@@ -52,6 +61,26 @@ def flops_per_resample(n_qubits: int, n_povms: int, n_outcomes: int,
     k = n_povms * n_outcomes
     k_pad = ((k + 127) // 128) * 128  # kernel pads K to the 128-lane tile
     return 2.0 * n_iter * (2 * k_pad * d2 + 6 * d2 * d2 + 8 * d**3)
+
+
+def flops_split(n_qubits: int, n_povms: int, n_outcomes: int, n_iter: int):
+    """(MXU matmul FLOPs, VPU element ops) per resample — the op-mix
+    split behind the exposed-roofline number (VERDICT r4 #6). The two
+    probability/pullback matmuls and six bloch<->matrix transfer matmuls
+    run on the MXU; the RrhoR sandwich runs as statically-unrolled VPU
+    broadcast passes (no compilable MXU layout exists for it —
+    ops/kernels.py docstring has the Mosaic repros). The VPU count is
+    AS IMPLEMENTED by `_rhor_kernel_t`: 2 Karatsuba complex batched
+    matmuls/iter = 6 bmms of d broadcast mult+add passes over (d, d)
+    tiles (2 d^3 element ops each) plus ~10 d^2 elementwise combines —
+    the minimal-FLOP count (8 d^3) would undercount what the VPU must
+    actually issue."""
+    d = 2**n_qubits
+    d2 = d * d
+    k_pad = ((n_povms * n_outcomes + 127) // 128) * 128
+    mxu = 2.0 * n_iter * (2 * k_pad * d2 + 6 * d2 * d2)
+    vpu = 1.0 * n_iter * (12 * d**3 + 10 * d2 + 2 * k_pad)
+    return mxu, vpu
 
 
 def log(msg):
@@ -111,6 +140,7 @@ def main():
         d = np.asarray(run(jax.random.key(i)))
         times.append(time.time() - t0)
     best = min(times)
+    value = N_POINTS / best
     log(f"steady-state times: {[f'{t:.3f}' for t in times]}")
     log(
         f"bootstrap distance stats: median={np.median(d):.4f} "
@@ -133,8 +163,24 @@ def main():
     # the stdout JSON line (round-3 verdict #9), narrated on stderr too.
     # Each block is independently guarded: a failed secondary never costs
     # the primary metric.
+    # EXPOSED roofline (VERDICT r4 #6): minimum wall time the hardware
+    # allows for this op mix = MXU FLOPs at the f32-effective matmul peak
+    # + sandwich FLOPs at the VPU peak (the sandwich has no compilable
+    # MXU layout — docs/benchmarks.md "Flagship MFU, settled").
+    mxu_f, vpu_f = flops_split(N_QUBITS, 81, 16, MLE_ITERS)
+    t_exposed = mxu_f / (PEAK_F32_TFLOPS * 1e12) + vpu_f / PEAK_VPU_ELEMOPS
+    exposed_rec_s = 1.0 / t_exposed
+    mfu_exposed_pct = 100 * (N_POINTS / best) / exposed_rec_s
+    log(
+        f"exposed roofline: {exposed_rec_s:.0f} rec/s for this op mix "
+        f"(MXU {mxu_f / 1e6:.1f} MF @ {PEAK_F32_TFLOPS:.0f} TF/s + sandwich "
+        f"{vpu_f / 1e6:.2f} M elem-ops @ {PEAK_VPU_ELEMOPS / 1e12:.1f} T/s "
+        f"VPU) -> mfu_exposed {mfu_exposed_pct:.0f}%"
+    )
+
     extras = {
         "mfu_f32_pct": round(100 * tflops / PEAK_F32_TFLOPS, 1),
+        "mfu_exposed_pct": round(mfu_exposed_pct, 1),
         "tflops": round(tflops, 2),
         "mle_iters": MLE_ITERS,
         "n_points": N_POINTS,
@@ -179,13 +225,25 @@ def main():
 
         povm1 = jnp.asarray(_single_qubit_preset("proj-set"), jnp.float32)
         scaling = {}
-        for n in (2, 4, 6, 8, 10):
+        for n in (2, 4, 6, 8, 10, 11):
             bn = jnp.asarray(qt.GHZ(n).bloch, jnp.float32)
-            cn = kron_core.kron_simulate(
-                jax.random.key(100 + n), povm1, bn, 10_000.0
-            )
+            if n >= 11:
+                # the fused 11q draw is a single ~48 s device execution —
+                # inside 25% of the axon ~60 s kill window (VERDICT r4
+                # #4); the chunked draw dispatches 27 ~2 s calls instead
+                t0 = time.time()
+                cn = kron_core.kron_simulate_chunked(
+                    jax.random.key(100 + n), povm1, bn, 10_000.0
+                )
+                scaling.setdefault(str(n), {})["simulate_chunked_s"] = round(
+                    time.time() - t0, 1
+                )
+            else:
+                cn = kron_core.kron_simulate(
+                    jax.random.key(100 + n), povm1, bn, 10_000.0
+                )
             np.asarray(jnp.sum(cn))
-            row = {}
+            row = scaling.get(str(n), {})
             np.asarray(kron_core.kron_estimate_lin(cn, povm1, n)[0])  # compile
             t0 = time.time()
             np.asarray(kron_core.kron_estimate_lin(cn, povm1, n)[0])
@@ -198,12 +256,77 @@ def main():
                 kron_core.kron_estimate_mle_rhor(cn, povm1, n, max_iter=60)[0]
             )
             row["mle60_ms"] = round(1000 * (time.time() - t0), 2)
+            from quantpy_tpu.tomography.bootstrap_core import _distance_batch
+
+            est_n = kron_core.kron_estimate_mle_rhor(cn, povm1, n, max_iter=60)
+            row["mle_hs"] = round(
+                float(np.asarray(_distance_batch("hs", est_n, bn, n))), 4
+            )
             scaling[str(n)] = row
             log(f"secondary: {n}-qubit lin {row['lin_ms']} ms, "
-                f"MLE-60 {row['mle60_ms']} ms")
+                f"MLE-60 {row['mle60_ms']} ms, hs-to-truth {row['mle_hs']}")
         extras["state_scaling_kron"] = scaling
     except Exception as e:  # pragma: no cover - informational only
         log(f"secondary scaling metric skipped: {e}")
+
+    try:
+        # 10-qubit MLE bootstrap throughput (VERDICT r4 #2/#4: the round-4
+        # streaming regression, now measured every round in the bench)
+        from quantpy_tpu.measurements import _single_qubit_preset
+        from quantpy_tpu.tomography import kron_core
+
+        povm1 = jnp.asarray(_single_qubit_preset("proj-set"), jnp.float32)
+        b10 = jnp.asarray(qt.GHZ(10).bloch, jnp.float32)
+        c10 = kron_core.kron_simulate(jax.random.key(110), povm1, b10, 10_000.0)
+        r10 = kron_core.kron_estimate_lin(c10, povm1, 10)
+        np.asarray(jnp.sum(r10))
+
+        def run10(key):
+            return kron_core.kron_bootstrap_distances(
+                key, r10, povm1, 10, 10_000.0,
+                n_points=16, method="mle", dst="hs", max_iter=60,
+            )
+
+        np.asarray(run10(jax.random.key(120)))  # compile
+        t0 = time.time()
+        d10 = np.asarray(run10(jax.random.key(121)))
+        rec10 = 16 / (time.time() - t0)
+        extras["state_boot_10q_mle_rec_s"] = round(rec10, 2)
+        log(f"secondary: 10-qubit MLE bootstrap {rec10:.2f} rec/s "
+            f"(16 resamples, d50={np.median(d10):.4f}; round 3: 0.8, "
+            "round 4 streamed: 0.10)")
+    except Exception as e:  # pragma: no cover - informational only
+        log(f"secondary 10q bootstrap metric skipped: {e}")
+
+    try:
+        # kernel-variant comparison (VERDICT r4 #4: the flat-vs-lane
+        # experiment that settled the MFU question, now machine-readable)
+        from quantpy_tpu.ops import kernels
+
+        extras["kernel_lane_rec_s"] = round(value, 1)
+        orig_kernel = kernels.rhor_mle_pallas
+
+        def _flat(freq, bloch0, w2, n_iter=60, block_b=128):
+            return kernels.rhor_mle_pallas_flat(
+                freq, bloch0, w2, n_iter=n_iter, block_b=block_b
+            )
+
+        kernels.rhor_mle_pallas = _flat
+        jax.clear_caches()  # the bootstrap program is cached with lane
+        try:
+            np.asarray(run(jax.random.key(0)))  # compile
+            t0 = time.time()
+            np.asarray(run(jax.random.key(1)))
+            rec_flat = N_POINTS / (time.time() - t0)
+        finally:
+            kernels.rhor_mle_pallas = orig_kernel
+            jax.clear_caches()
+        extras["kernel_flat_rec_s"] = round(rec_flat, 1)
+        log(f"secondary: flat-matrix kernel {rec_flat:.0f} rec/s vs "
+            f"lane-batched {value:.0f} (round 4: 75,820 vs 83,412 — "
+            "the kernel is VPU-bound)")
+    except Exception as e:  # pragma: no cover - informational only
+        log(f"secondary kernel-variant metric skipped: {e}")
 
     try:
         # 4-qubit process bootstrap (the round-3 headline: batched
@@ -233,7 +356,6 @@ def main():
     except Exception as e:  # pragma: no cover - informational only
         log(f"secondary process metric skipped: {e}")
 
-    value = N_POINTS / best
     print(
         json.dumps(
             {

@@ -12,6 +12,16 @@ docs/benchmarks.md, session 5). Demonstrates:
 - scipy frozen distributions as proposals (mhmc.from_scipy_frozen adapts
   them to the device chain, Hastings-corrected when asymmetric).
 
+DECISION PATH for a process CI (round-5 outcome, proven):
+- 1-3 qubit channels: this chain converges (R-hat < 1.1 here) and is the
+  posterior-exact answer; cross-validate with the bootstrap as below.
+- 4+ qubit channels: use BootstrapProcessInterval. The chain target is
+  precision-clean, but the posterior geometry is a measured wall —
+  a two-seed Lanczos spectrum of the whitened Hessian shows ~12,600
+  stiff directions over four curvature decades, which no feasible
+  metric flattens (docs/benchmarks.md session 6). The chain's
+  R-hat/ESS RuntimeWarning fires if you try anyway.
+
 Run:  python examples/posterior_sampling.py
 """
 

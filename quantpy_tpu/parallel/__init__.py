@@ -8,7 +8,9 @@ from .mesh import (
     sharded_kron_adjoint_flat,
     sharded_kron_bootstrap_distances,
     sharded_kron_estimate_lin,
+    sharded_kron_estimate_mle_rhor,
     sharded_kron_forward_flat,
+    sharded_kron_simulate,
     sharded_mhmc_kraus_chains,
     sharded_mhmc_process_chains,
     sharded_mhmc_state_chains,
@@ -23,7 +25,9 @@ __all__ = [
     "sharded_kron_adjoint_flat",
     "sharded_kron_bootstrap_distances",
     "sharded_kron_estimate_lin",
+    "sharded_kron_estimate_mle_rhor",
     "sharded_kron_forward_flat",
+    "sharded_kron_simulate",
     "sharded_mhmc_kraus_chains",
     "sharded_mhmc_process_chains",
     "sharded_mhmc_state_chains",

@@ -18,6 +18,7 @@ the default.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,8 @@ __all__ = [
     "sharded_kron_forward_flat",
     "sharded_kron_adjoint_flat",
     "sharded_kron_estimate_lin",
+    "sharded_kron_estimate_mle_rhor",
+    "sharded_kron_simulate",
     "sharded_process_bootstrap_distances",
     "sharded_coverage",
     "sharded_mhmc_process_chains",
@@ -589,6 +592,189 @@ def sharded_kron_estimate_lin(
         return bloch
 
     out = jax.jit(run)(c3, factors[0], *factors[1:], *gram_invs)
+    return out.reshape(batch_shape + (4**n_qubits,))
+
+
+def sharded_kron_simulate(mesh: Mesh, key, povm1, bloch, n_shots):
+    """Operator-sharded multinomial experiment simulation: each device
+    evaluates its (…, M, P/n_dev) probability slab from the replicated
+    bloch input and draws ITS OWN outcomes — the 6^n counts tensor is
+    born sharded and never whole on any device (8.7 GB total at 12
+    qubits ≈ 1.1 GB/device on 8). The marginal counts per first-group
+    p0-slice are drawn independently per device (one key fold per
+    device), which samples a DIFFERENT exact joint than the single-chip
+    multinomial: per-POVM totals are fixed only in expectation, i.e.
+    this is the product-binomial ("Poissonized block") design. For the
+    uniform-weight estimators here both designs give the same
+    asymptotics; the single-chip twin for bit-exact parity is
+    kron_core.kron_simulate. Returns a jax.Array sharded over the mesh's
+    outcome axis, suitable for sharded_kron_estimate_{lin,mle_rhor}.
+
+    Reference: quantpy/tomography/state.py:108-114 (sequential per-POVM
+    numpy draws).
+    """
+    from ..ops.sampling import sample_multinomial
+    from ..tomography import kron_core
+
+    n_dev = mesh.devices.size
+    bloch = jnp.asarray(bloch, dtype=rdtype())
+    n_qubits = int(round(math.log(bloch.shape[-1], 4)))
+    groups, factors = _kron_factor_shards(povm1, n_qubits, n_dev)
+    k = len(groups)
+    spec = kron_core._forward_spec(k)
+    m1, p1, _ = jnp.asarray(povm1).shape
+    m_tot, p_tot = m1**n_qubits, p1**n_qubits
+    batch_shape = bloch.shape[:-1]
+    x = bloch.reshape((-1,) + tuple(4**g for g in groups))
+    n_shots = jnp.asarray(n_shots, dtype=rdtype())
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, BATCH_AXIS, None)) + (P(),) * (k - 1),
+        out_specs=P(None, None, BATCH_AXIS),
+        # jax.random.binomial's internal rejection while_loop trips the vma
+        # checker on varying-carry inference (jax 0.9); the draw itself is
+        # purely per-device
+        check_vma=False,
+    )
+    def run(k_repl, xs, f0_loc, *rest):
+        dev = jax.lax.axis_index(BATCH_AXIS)
+        kd = jax.random.fold_in(k_repl, dev)
+        probs = jnp.einsum(spec, xs, f0_loc, *rest, optimize=True)
+        probs = jnp.clip(probs * (2**n_qubits), 0.0, 1.0)
+        probs = probs.reshape(xs.shape[0], m_tot, -1)
+        # per-device share of each POVM's shot budget: the slab's
+        # probability mass is psum-normalized so expected totals match
+        mass = jnp.sum(probs, axis=-1)
+        total_mass = jax.lax.psum(mass, BATCH_AXIS)
+        n_loc = n_shots * mass / jnp.where(total_mass > 0, total_mass, 1.0)
+        return sample_multinomial(kd, jnp.round(n_loc), probs)
+
+    out = jax.jit(run)(key, x, factors[0], *factors[1:])
+    return out.reshape(batch_shape + (m_tot, p_tot))
+
+
+def sharded_kron_estimate_mle_rhor(
+    mesh: Mesh,
+    counts,
+    povm1,
+    n_qubits: int,
+    init_bloch=None,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+):
+    """Operator-sharded RrhoR fixed-point MLE — the 12-qubit enabler.
+
+    Same fixed point as kron_core.kron_estimate_mle_rhor (itself the
+    factored twin of the reference's update, quantpy/tomography/
+    state.py:163-176), with every 6^n-sized tensor sharded over the
+    mesh on the first measurement group's outcome axis:
+
+    - per iteration each device evaluates its (z, M, P/n_dev)
+      probability slab from the replicated bloch (no collective),
+      forms freq/probs locally, and contracts its slab through the
+      adjoint chain; the ONLY per-iteration collectives are the psum
+      of the small (z, 4^n) R-vector over ICI and the row all_gather
+      of the sandwich below;
+    - the R·rho·R sandwich (the dense 2^n-dim matmuls, where the
+      MXU FLOPs are at 12 qubits: 2 x 4096^3 complex) is row-sharded:
+      each device computes its (2^n/n_dev, 2^n) row block of
+      (R rho) R and the blocks all_gather back to the replicated new
+      rho (268 MB at 12q c64 — one ICI round per iteration). When
+      n_dev does not divide 2^n the sandwich runs replicated instead.
+
+    counts may be host-resident or already mesh-sharded (e.g. from
+    sharded_kron_simulate — at 12 qubits the 8.7 GB tensor should be
+    born sharded). Returns the replicated (…, 4^n) bloch estimate.
+    """
+    from ..ops.paulis import bloch_to_matrix, matrix_to_bloch
+    from ..tomography import kron_core
+
+    n_dev = mesh.devices.size
+    groups, factors = _kron_factor_shards(povm1, n_qubits, n_dev)
+    k = len(groups)
+    fwd_spec = kron_core._forward_spec(k)
+    adj_spec = kron_core._adjoint_spec(k)
+    m1, p1, _ = jnp.asarray(povm1).shape
+    m_tot, p_tot = m1**n_qubits, p1**n_qubits
+    m_sizes = tuple(f.shape[0] for f in factors)
+    p_sizes = tuple(f.shape[1] for f in factors)
+    d_groups = tuple(4**g for g in groups)
+    dim = 2**n_qubits
+    scale = (2**n_qubits) / m_tot
+    row_sharded = dim % n_dev == 0
+    rows_loc = dim // n_dev if row_sharded else dim
+
+    counts = jnp.asarray(counts, dtype=rdtype())
+    batch_shape = counts.shape[:-2]
+    c3 = counts.reshape((-1, m_tot, p_tot))
+
+    if init_bloch is None:
+        init_bloch = sharded_kron_estimate_lin(
+            mesh, counts, povm1, n_qubits, physical=True
+        )
+    init_bloch = jnp.asarray(init_bloch, dtype=rdtype()).reshape(-1, 4**n_qubits)
+    mixed = jnp.zeros_like(init_bloch).at[..., 0].set(1.0 / dim)
+    bloch0 = 0.95 * init_bloch + 0.05 * mixed
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(None, None, BATCH_AXIS), P(None, BATCH_AXIS, None))
+        + (P(),) * (k - 1),
+        out_specs=P(),
+        # the all_gather'd sandwich rows are device-identical by
+        # construction but the vma checker cannot prove it through the
+        # while_loop carry; the 6q equality test below is the proof
+        check_vma=False,
+    )
+    def run(b0, cs, f0_loc, *rest):
+        z = cs.shape[0]
+        total = jax.lax.psum(
+            jnp.sum(cs, axis=(-2, -1), keepdims=True), BATCH_AXIS
+        )
+        freq = cs / total
+        freq_b = freq.reshape((z,) + m_sizes + (f0_loc.shape[1],) + p_sizes[1:])
+
+        def r_vector(bloch):
+            xs = bloch.reshape((z,) + d_groups)
+            probs = jnp.einsum(fwd_spec, xs, f0_loc, *rest, optimize=True)
+            probs = jnp.clip(probs * (2**n_qubits), 0.0, 1.0) / m_tot
+            c = freq_b / jnp.clip(probs, kron_core._NLL_EPS, None)
+            rhs = jnp.einsum(adj_spec, c, f0_loc, *rest, optimize=True)
+            rhs = jax.lax.psum(rhs.reshape(z, -1), BATCH_AXIS)
+            return rhs * scale
+
+        def sandwich(r, rho):
+            if not row_sharded:
+                return r @ rho @ r
+            dev = jax.lax.axis_index(BATCH_AXIS)
+            r_loc = jax.lax.dynamic_slice_in_dim(r, dev * rows_loc, rows_loc, -2)
+            new_loc = (r_loc @ rho) @ r  # (z, rows_loc, dim)
+            gathered = jax.lax.all_gather(new_loc, BATCH_AXIS, axis=-2, tiled=True)
+            return gathered
+
+        def cond(carry):
+            _, it, delta = carry
+            return jnp.logical_and(it < max_iter, delta > tol)
+
+        def step(carry):
+            bloch, it, _ = carry
+            r = bloch_to_matrix(r_vector(bloch), n_qubits)
+            rho = bloch_to_matrix(bloch, n_qubits)
+            new = sandwich(r, rho)
+            tr = jnp.trace(new, axis1=-2, axis2=-1).real
+            new_bloch = matrix_to_bloch(new) / tr[..., None]
+            delta = jnp.max(jnp.abs(new_bloch - bloch))
+            return new_bloch, it + 1, delta
+
+        bloch, _, _ = jax.lax.while_loop(
+            cond, step, (b0, jnp.asarray(0), jnp.asarray(jnp.inf, rdtype()))
+        )
+        return bloch
+
+    out = jax.jit(run)(bloch0, c3, factors[0], *factors[1:])
     return out.reshape(batch_shape + (4**n_qubits,))
 
 

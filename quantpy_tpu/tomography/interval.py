@@ -1166,7 +1166,22 @@ class MHMCProcessInterval(ConfidenceInterval):
         curvature ~2-4e6 along the gradient in 'unit-rms' whitened
         coordinates while MALA acceptance was 0.00 already at step 1e-4,
         and adaptation collapsed the step to 1.5e-7 where the chain
-        could not traverse the posterior within any feasible budget)."""
+        could not traverse the posterior within any feasible budget).
+
+        **Choosing a process CI at 4+ qubits (round-5 outcome, proven):**
+        this sampler is precision-clean (anchored df32 target) and
+        convergent through 3 qubits, but at 4 qubits the posterior
+        geometry itself is the wall — a measured, two-seed-reproduced
+        Lanczos spectrum of the whitened target Hessian shows ~12,600
+        stiff directions spanning [1e2, 1e6) curvature (top-100 Ritz
+        values converged; docs/benchmarks.md session 6), so no
+        low-rank+diagonal metric fits the MALA step budget and a dense
+        metric does not fit the machine. Use
+        :class:`BootstrapProcessInterval` at 4+ qubits (69-72 rec/s on
+        chip); this class's R-hat/ESS RuntimeWarning will fire if you
+        sample a 4+ qubit chain anyway. The reference's sampler
+        (interval.py:762-850) faces the same geometry and additionally
+        freezes outright at 4 qubits (projection scheme, session 4)."""
         super().__init__(
             tmg, n_points=n_points, step=step, burn_steps=burn_steps,
             thinning=thinning, warm_start=warm_start, method=method,

@@ -45,6 +45,7 @@ __all__ = [
     "kron_adjoint_flat",
     "kron_row_component",
     "kron_simulate",
+    "kron_simulate_chunked",
     "kron_estimate_lin",
     "kron_estimate_mle_rhor",
 ]
@@ -249,6 +250,52 @@ def kron_simulate(key, povm1, bloch, n_shots):
     probs = kron_probs(povm1, n, bloch)
     n_arr = jnp.full(probs.shape[:-1], n_shots, dtype=rdtype())
     return sample_multinomial(key, n_arr, probs)
+
+
+def kron_simulate_chunked(key, povm1, bloch, n_shots, n_calls: int | None = None):
+    """Multinomial simulation split into `n_calls` HOST-dispatched device
+    calls over the first measurement group's m-axis.
+
+    Each POVM row is an independent multinomial, so drawing m-blocks in
+    separate device calls samples exactly the same design as
+    :func:`kron_simulate` (with a different key stream: one fold per
+    block). This exists for the 11+ qubit scale, where the fused draw is
+    a single ~48 s device execution — inside 25% of the axon runtime's
+    ~60 s kill window (docs/tpu_constraints.md); 27 blocks at 11 qubits
+    put each call at ~2 s. `n_calls=None` picks the first-group m-size
+    (27 for 3-qubit proj-set groups); eager only.
+    """
+    bloch = jnp.asarray(bloch, dtype=rdtype())
+    n = int(round(math.log(bloch.shape[-1], 4)))
+    povm1 = jnp.asarray(povm1, dtype=rdtype())
+    groups, factors = _grouped_factors(povm1, n)
+    f0 = factors[0]
+    m0 = f0.shape[0]
+    if n_calls is None:
+        n_calls = m0
+    n_calls = max(1, min(int(n_calls), m0))
+    block = -(-m0 // n_calls)
+    batch_shape = bloch.shape[:-1]
+    x = bloch.reshape((-1,) + tuple(4**g for g in groups))
+    m_rest = int(np.prod([f.shape[0] for f in factors[1:]], initial=1))
+    p_tot = int(np.prod([f.shape[1] for f in factors]))
+    fwd = _forward_spec(len(groups))
+
+    @jax.jit
+    def draw_block(k, f0_blk):
+        probs = jnp.einsum(fwd, x, f0_blk, *factors[1:], optimize=True)
+        probs = jnp.clip(probs * (2**n), 0.0, 1.0)
+        probs = probs.reshape(x.shape[0], f0_blk.shape[0] * m_rest, p_tot)
+        n_arr = jnp.full(probs.shape[:-1], n_shots, dtype=rdtype())
+        return sample_multinomial(k, n_arr, probs)
+
+    parts = []
+    for i, k in enumerate(jax.random.split(key, -(-m0 // block))):
+        parts.append(np.asarray(draw_block(k, f0[i * block : (i + 1) * block])))
+    counts = np.concatenate(parts, axis=1)
+    return jnp.asarray(
+        counts.reshape(batch_shape + (m0 * m_rest, p_tot))
+    )
 
 
 def kron_forward_flat(povm1, n_qubits: int, bloch):
