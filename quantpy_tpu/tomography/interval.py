@@ -736,7 +736,15 @@ class BootstrapProcessInterval(ConfidenceInterval):
     +0.9 percent, and cap 50 runs 256 resamples at 71.5 rec/s vs 38.0 at
     cap 100; at 5 qubits the deeper 1024-dim spectrum DOES need 100 — cap
     50 shifts d50/d90 +4.3 percent there. Also equality-tested against
-    eigh at 2 qubits)."""
+    eigh at 2 qubits).
+
+    Throughput at 4 qubits is the NS-Dykstra projection (87 percent of
+    the pipeline by stage profile, round 5, running at >= 43 percent of
+    the f32-effective matmul roofline — docs/benchmarks.md "Process
+    bootstrap MFU, settled"), so rec/s scales ~1/cptp_iter: the measured
+    knob is `cptp_iter=37` for +28 percent throughput at a +0.4 percent
+    d50/d90 shift (cap 25: +95 percent at +1.8). The default stays at
+    the round-3 agreement bar."""
 
     def __init__(
         self,

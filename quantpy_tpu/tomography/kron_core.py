@@ -480,16 +480,18 @@ def kron_bootstrap_distances(
     the per-call counts volume stays under ~2^25 entries — fused in one
     program through 8 qubits for 'proj' runs and for 'proj-set' up to 19
     resamples (chunk=19 at 6^8 entries/resample), 3 resamples per call at
-    9-qubit proj-set (6^9). Chunks STREAM inside one jitted program as a
-    lax.map over equal-sized sub-batches (one sub-batch's counts live at a
-    time), which removes the per-call dispatch wall that capped the
-    9-10-qubit bootstrap (round 3: one resample per call at 10 qubits =
-    0.8 rec/s); eagerly the streamed program is re-issued per
-    `calls_cap`-resample super-chunk so a single device execution stays
-    under the axon ~60 s kill (docs/tpu_constraints.md). Under a trace
-    (e.g. inside parallel.mesh's shard_map programs) one lax.map covers
-    everything. Any split changes the per-key random stream relative to
-    the single fused program (one key fold per chunk)."""
+    9-qubit proj-set (6^9). Eagerly each chunk is its own device call —
+    the round-4 lax.map streaming of chunks inside one program measured a
+    15x SLOWDOWN at 10 qubits (0.07 rec/s streamed 16x1 vs 1.04 eager
+    per-call, 2026-08-20 isolation matrix; the sequential map body also
+    forfeits XLA's cross-call pipelining while paying one 60 s-window
+    execution for the whole super-chunk), so host dispatch between
+    chunks is both the faster and the kill-window-safe schedule. Under a
+    trace (e.g. inside parallel.mesh's shard_map programs) there is no
+    host to dispatch from, so one lax.map covers everything — accept the
+    measured streaming cost there or keep per-device batches small. Any
+    split changes the per-key random stream relative to the single fused
+    program (one key fold per chunk)."""
     import numpy as _np
 
     m1, p1, _ = jnp.asarray(povm1).shape
@@ -505,33 +507,20 @@ def kron_bootstrap_distances(
         isinstance(x, jax.core.Tracer)
         for x in (key, bloch_est, povm1, n_shots)
     )
-
-    def streamed(k, n_chunks):
-        # lax.map over equal-sized chunks: same memory bound as one chunk,
-        # no host dispatch between chunks. Surplus tail resamples are iid
-        # and sliced off by the caller.
-        def body(kc):
-            return _kron_bootstrap_fused(
-                kc, bloch_est, povm1, n_qubits, n_shots, chunk,
-                method, dst, max_iter, physical, init,
-            )
-
-        return jax.lax.map(body, jax.random.split(k, n_chunks)).reshape(-1)
-
     n_calls = -(-n_points // chunk)
+    keys = jax.random.split(key, n_calls)
+
+    def one_chunk(kc):
+        return _kron_bootstrap_fused(
+            kc, bloch_est, povm1, n_qubits, n_shots, chunk,
+            method, dst, max_iter, physical, init,
+        )
+
     if tracing:
-        return streamed(key, n_calls)[:n_points]
-    # eager: split the streamed program into super-chunks so one device
-    # execution stays under the runtime's kill window (~16 resamples per
-    # call at the 9-10 qubit scale where streaming engages)
-    calls_cap = max(1, 16 // chunk)
-    keys = jax.random.split(key, -(-n_calls // calls_cap))
-    parts = []
-    done_chunks = 0
-    for k in keys:
-        m = min(calls_cap, n_calls - done_chunks)
-        parts.append(_np.asarray(streamed(k, m)))
-        done_chunks += m
+        return jax.lax.map(one_chunk, keys).reshape(-1)[:n_points]
+    # eager: one device call per chunk (measured-fastest, and each call
+    # stays far inside the axon ~60 s execution kill)
+    parts = [_np.asarray(one_chunk(k)) for k in keys]
     return jnp.asarray(_np.concatenate(parts)[:n_points])
 
 
