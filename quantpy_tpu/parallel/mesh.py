@@ -627,6 +627,8 @@ def sharded_kron_simulate(mesh: Mesh, key, povm1, bloch, n_shots):
     batch_shape = bloch.shape[:-1]
     x = bloch.reshape((-1,) + tuple(4**g for g in groups))
     n_shots = jnp.asarray(n_shots, dtype=rdtype())
+    m0 = factors[0].shape[0]
+    m_rest = m_tot // m0
 
     @functools.partial(
         shard_map,
@@ -641,15 +643,26 @@ def sharded_kron_simulate(mesh: Mesh, key, povm1, bloch, n_shots):
     def run(k_repl, xs, f0_loc, *rest):
         dev = jax.lax.axis_index(BATCH_AXIS)
         kd = jax.random.fold_in(k_repl, dev)
-        probs = jnp.einsum(spec, xs, f0_loc, *rest, optimize=True)
-        probs = jnp.clip(probs * (2**n_qubits), 0.0, 1.0)
-        probs = probs.reshape(xs.shape[0], m_tot, -1)
-        # per-device share of each POVM's shot budget: the slab's
-        # probability mass is psum-normalized so expected totals match
-        mass = jnp.sum(probs, axis=-1)
-        total_mass = jax.lax.psum(mass, BATCH_AXIS)
-        n_loc = n_shots * mass / jnp.where(total_mass > 0, total_mass, 1.0)
-        return sample_multinomial(kd, jnp.round(n_loc), probs)
+
+        # draw one first-group m-slice at a time (lax.map): the binary-
+        # split sampler keeps every level's block sums alive, ~4x the
+        # probs volume — fused at 12 qubits that peaked past the host's
+        # RAM on the virtual mesh (measured round 5); per-slice the
+        # transient is 1/27th, while the counts output is unchanged
+        def block(k_f0):
+            kb, f0_blk = k_f0
+            probs = jnp.einsum(spec, xs, f0_blk, *rest, optimize=True)
+            probs = jnp.clip(probs * (2**n_qubits), 0.0, 1.0)
+            probs = probs.reshape(xs.shape[0], m_rest, -1)
+            mass = jnp.sum(probs, axis=-1)
+            total_mass = jax.lax.psum(mass, BATCH_AXIS)
+            n_loc = n_shots * mass / jnp.where(total_mass > 0, total_mass, 1.0)
+            return sample_multinomial(kb, jnp.round(n_loc), probs)
+
+        out = jax.lax.map(
+            block, (jax.random.split(kd, m0), f0_loc[:, None, :, :])
+        )  # (m0, z, m_rest, p_loc)
+        return jnp.moveaxis(out, 0, 1).reshape(xs.shape[0], m_tot, -1)
 
     out = jax.jit(run)(key, x, factors[0], *factors[1:])
     return out.reshape(batch_shape + (m_tot, p_tot))
