@@ -601,10 +601,11 @@ def sharded_kron_simulate(mesh: Mesh, key, povm1, bloch, n_shots):
     bloch input and draws ITS OWN outcomes — the 6^n counts tensor is
     born sharded and never whole on any device (8.7 GB total at 12
     qubits ≈ 1.1 GB/device on 8). The marginal counts per first-group
-    p0-slice are drawn independently per device (one key fold per
-    device), which samples a DIFFERENT exact joint than the single-chip
-    multinomial: per-POVM totals are fixed only in expectation, i.e.
-    this is the product-binomial ("Poissonized block") design. For the
+    p0-slice are drawn independently per device, one first-group m-slice
+    per lax.map step (one key fold per device and m-slice), which
+    samples a DIFFERENT exact joint than the single-chip multinomial:
+    per-POVM totals are fixed only in expectation, i.e. this is the
+    product-binomial ("Poissonized block") design. For the
     uniform-weight estimators here both designs give the same
     asymptotics; the single-chip twin for bit-exact parity is
     kron_core.kron_simulate. Returns a jax.Array sharded over the mesh's

@@ -261,9 +261,11 @@ def kron_simulate_chunked(key, povm1, bloch, n_shots, n_calls: int | None = None
     :func:`kron_simulate` (with a different key stream: one fold per
     block). This exists for the 11+ qubit scale, where the fused draw is
     a single ~48 s device execution — inside 25% of the axon runtime's
-    ~60 s kill window (docs/tpu_constraints.md); 27 blocks at 11 qubits
-    put each call at ~2 s. `n_calls=None` picks the first-group m-size
-    (27 for 3-qubit proj-set groups); eager only.
+    ~60 s kill window (docs/tpu_constraints.md). `n_calls=None` picks the
+    first-group m-size (27 one-slice calls at 11 qubits, ~199 s wall —
+    measured BETTER than 9 three-slice calls, 281 s, same session: the
+    per-call draw cost scales superlinearly with slab volume here, so
+    small slabs win even with 3x the dispatches); eager only.
     """
     bloch = jnp.asarray(bloch, dtype=rdtype())
     n = int(round(math.log(bloch.shape[-1], 4)))
@@ -289,13 +291,15 @@ def kron_simulate_chunked(key, povm1, bloch, n_shots, n_calls: int | None = None
         n_arr = jnp.full(probs.shape[:-1], n_shots, dtype=rdtype())
         return sample_multinomial(k, n_arr, probs)
 
+    # blocks STAY on device (host round-trips through the tunnel cost
+    # ~13 s per 54 MB slab — measured round 5: host-accumulating made the
+    # 11q chunked draw ~400 s vs ~50 s of device time); the calls are
+    # separate executions either way, which is all the kill window needs
     parts = []
     for i, k in enumerate(jax.random.split(key, -(-m0 // block))):
-        parts.append(np.asarray(draw_block(k, f0[i * block : (i + 1) * block])))
-    counts = np.concatenate(parts, axis=1)
-    return jnp.asarray(
-        counts.reshape(batch_shape + (m0 * m_rest, p_tot))
-    )
+        parts.append(draw_block(k, f0[i * block : (i + 1) * block]))
+    counts = jnp.concatenate(parts, axis=1)
+    return counts.reshape(batch_shape + (m0 * m_rest, p_tot))
 
 
 def kron_forward_flat(povm1, n_qubits: int, bloch):
