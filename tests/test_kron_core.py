@@ -169,6 +169,34 @@ def test_kron_bootstrap_interval():
     assert d[1] < 0.5
 
 
+def test_kron_simulate_chunked_matches_design():
+    """The host-chunked simulate (the 11-qubit kill-window-safe draw)
+    samples the same design as the fused draw: exact per-POVM totals,
+    same estimator quality on the same truth (streams differ by the
+    documented per-block key folds)."""
+    import jax
+
+    from quantpy_tpu.measurements import _single_qubit_preset
+
+    povm1 = np.asarray(_single_qubit_preset("proj-set"))
+    truth = qt.GHZ(4).bloch.astype(np.float32)
+    c_fused = np.asarray(
+        kron_core.kron_simulate(jax.random.key(7), povm1, truth, 2000.0)
+    )
+    c_chunk = np.asarray(
+        kron_core.kron_simulate_chunked(
+            jax.random.key(7), povm1, truth, 2000.0, n_calls=5
+        )
+    )
+    assert c_chunk.shape == c_fused.shape == (81, 16)
+    np.testing.assert_array_equal(c_chunk.sum(axis=-1), 2000.0)
+    e_f = np.asarray(kron_core.kron_estimate_lin(c_fused, povm1, 4))
+    e_c = np.asarray(kron_core.kron_estimate_lin(c_chunk, povm1, 4))
+    d_f = np.linalg.norm(e_f - truth)
+    d_c = np.linalg.norm(e_c - truth)
+    assert d_c < 3 * max(d_f, 1e-3), (d_c, d_f)
+
+
 def test_kron_bootstrap_chunking_consistent():
     """The host-chunked bootstrap wrapper returns the requested number of
     finite distances and is deterministic in the key (the 9-qubit memory
