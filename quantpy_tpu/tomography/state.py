@@ -15,6 +15,8 @@ TPU-native extensions:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from ..measurements import generate_measurement_matrix
@@ -23,6 +25,22 @@ from ..qobj import Qobj
 from . import state_core
 
 __all__ = ["StateTomograph"]
+
+
+def _kron_draw(key, povm1, bloch, shots):
+    """Dispatch the experiment draw: above CHUNKED_CHAIN_VOLUME the fused
+    draw is a single ~48 s device execution at 11 qubits — inside 25% of
+    the axon ~60 s kill window — so the host-chunked per-m-slice draw
+    runs instead (same design, per-block key folds; kron_core
+    .kron_simulate_chunked docstring has the measurements)."""
+    from . import kron_core
+
+    m1, p1, _ = np.asarray(povm1).shape
+    n = int(round(math.log(np.asarray(bloch).shape[-1], 4)))
+    if (m1 * p1) ** n > kron_core.CHUNKED_CHAIN_VOLUME:
+        return kron_core.kron_simulate_chunked(key, povm1, bloch, shots)
+    return kron_core.kron_simulate(key, povm1, bloch, shots)
+
 
 
 def _uniform_shots(n_measurements):
@@ -128,9 +146,7 @@ class StateTomograph:
                 raise NotImplementedError(
                     "kron-mode warm_start needs uniform integral shots"
                 )
-            from . import kron_core
-
-            counts = kron_core.kron_simulate(
+            counts = _kron_draw(
                 self._next_key(),
                 self.povm_kron,
                 self.state.bloch_device(),
@@ -149,11 +165,9 @@ class StateTomograph:
                         "warm_start into kron-factored mode needs a prior "
                         "kron-mode experiment with the same design"
                     )
-                from . import kron_core
-
                 self.povm_kron = np.asarray(povm_block, dtype=np.float64)
                 self.povm_matrix = None
-                counts = kron_core.kron_simulate(
+                counts = _kron_draw(
                     self._next_key(),
                     self.povm_kron,
                     self.state.bloch_device(),
